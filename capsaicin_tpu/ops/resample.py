@@ -1,0 +1,96 @@
+"""Image resampling: bilinear and luma-weighted bicubic history fetches.
+
+TPU-native reimplementation of /root/reference/src/core/shaders/utils.h
+(UVtoXY/XYtoUV/SampleBilinear) and temporal_accumulation.hlsl:38-66
+(ResampleBicubic). Images are [H,W,C]; uv coordinates have u horizontal
+(x / width) and v vertical (y / height), matching the HLSL texture indexing.
+
+Out-of-range taps are clamped to the image border (the reference's HLSL
+out-of-bounds UAV reads return 0, slightly darkening a 1-pixel border; we
+clamp, which is strictly better-behaved and irrelevant beyond the border).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .mathops import cubic, luminance
+
+
+def uv_to_xy(uv, dims):
+    """UV -> continuous pixel coords, clamped to dim-1; utils.h:5-9. dims=(W,H)."""
+    w, h = dims
+    xy = uv * jnp.asarray([w, h], jnp.float32)
+    return jnp.minimum(xy, jnp.asarray([w - 1, h - 1], jnp.float32))
+
+
+def xy_to_uv(xy, dims):
+    """Pixel coords -> UV clamped to [0,1]; utils.h:12-15. dims=(W,H)."""
+    w, h = dims
+    return jnp.clip(xy / jnp.asarray([w, h], jnp.float32), 0.0, 1.0)
+
+
+def _gather_pixels(img, ix, iy):
+    """img: [H,W,C]; ix, iy: [...] int32 -> [...,C], indices clamped."""
+    h, w = img.shape[0], img.shape[1]
+    ix = jnp.clip(ix, 0, w - 1)
+    iy = jnp.clip(iy, 0, h - 1)
+    flat = img.reshape(h * w, *img.shape[2:])
+    return jnp.take(flat, iy * w + ix, axis=0)
+
+
+def sample_point(img, uv, dims):
+    """Nearest (floor) fetch at UV; matches texture[uint2(floor(UVtoXY(uv)))]."""
+    xy = uv_to_xy(uv, dims)
+    ix = jnp.floor(xy[..., 0]).astype(jnp.int32)
+    iy = jnp.floor(xy[..., 1]).astype(jnp.int32)
+    return _gather_pixels(img, ix, iy)
+
+
+def sample_bilinear(img, uv, dims):
+    """Bilinear fetch; utils.h:19-36."""
+    xy = uv_to_xy(uv, dims) - 0.5
+    ix = jnp.floor(xy[..., 0]).astype(jnp.int32)
+    iy = jnp.floor(xy[..., 1]).astype(jnp.int32)
+    w = xy - jnp.floor(xy)
+    wx = w[..., 0:1]
+    wy = w[..., 1:2]
+    v00 = _gather_pixels(img, ix, iy)
+    v10 = _gather_pixels(img, ix + 1, iy)
+    v01 = _gather_pixels(img, ix, iy + 1)
+    v11 = _gather_pixels(img, ix + 1, iy + 1)
+    top = v00 * (1.0 - wx) + v10 * wx
+    bot = v01 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def resample_bicubic(img, uv, dims):
+    """3x3 bicubic (Catmull-Rom b=0,c=0.5) with inverse-luma weighting;
+    temporal_accumulation.hlsl:38-66. img channels >= 3; weights use the
+    first three channels' luminance."""
+    w, h = dims
+    center_xy = uv_to_xy(uv, dims)
+    filtered = None
+    tw = None
+    for j in (-1, 0, 1):
+        for i in (-1, 0, 1):
+            cur = center_xy + jnp.asarray([i, j], jnp.float32)
+            offscreen = (
+                (cur[..., 0] < 0.0)
+                | (cur[..., 1] < 0.0)
+                | (cur[..., 0] >= w)
+                | (cur[..., 1] >= h)
+            )
+            val = sample_bilinear(img, xy_to_uv(cur, dims), dims)
+            d = jnp.abs(cur - center_xy)
+            wt = (
+                cubic(d[..., 0], 0.0, 0.5)
+                * cubic(d[..., 1], 0.0, 0.5)
+                / (1.0 + luminance(val[..., :3]))
+            )
+            wt = jnp.where(offscreen, 0.0, wt)
+            contrib = wt[..., None] * val
+            filtered = contrib if filtered is None else filtered + contrib
+            tw = wt if tw is None else tw + wt
+    out = jnp.where((tw > 1e-5)[..., None], filtered / jnp.maximum(tw, 1e-20)[..., None], 0.0)
+    return out

@@ -1,0 +1,71 @@
+"""Render settings.
+
+Mirrors the reference's two-level configuration (SURVEY.md §5):
+  - RenderOptions: compile-time variants (HLSL #defines at PSO build,
+    raytracing_system.h:22-27) -> static jit arguments here
+  - Settings: runtime knobs (SettingsComponent, gui_system.h:20-40) ->
+    a float/int pytree traced as dynamic jit arguments, so changing a sigma
+    does NOT retrigger XLA compilation
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+# Output modes (OutputType, gui_system.h:11-17)
+OUTPUT_COMBINED = 0
+OUTPUT_DIRECT = 1
+OUTPUT_INDIRECT = 2
+OUTPUT_VARIANCE = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOptions:
+    """Static (compile-time) options; hashable so it can be a jit static arg.
+
+    Defaults match RaytracingOptions{false, true, true}
+    (raytracing_system.h:22-27) and the SettingsComponent bools
+    (gui_system.h:20-40).
+    """
+
+    lowres_indirect: bool = False  # LOWRES_INDIRECT / UPSCALE2X defines
+    use_variance: bool = True  # CALCULATE_VARIANCE / USE_VARIANCE
+    gbuffer_feedback: bool = True  # GBUFFER_FEEDBACK
+    denoise: bool = True  # SettingsComponent.denoise
+    gather: bool = True  # SettingsComponent.gather
+    eaw5: bool = True  # SettingsComponent.eaw5 (5-stage EAW chain)
+    taa: bool = True
+    num_diffuse_bounces: int = 1  # 0..5 (gui_system.cpp:74)
+    output: int = OUTPUT_COMBINED
+    use_material_kd: bool = False  # extension: use MTL Kd for untextured
+    # meshes instead of the reference's constant 0.75 (scene.h:56-58)
+    history_dtype: str = "float32"  # "float16" mirrors the RGBA16F history
+
+
+class Settings(NamedTuple):
+    """Dynamic (traced) knobs; defaults from gui_system.h:25-37."""
+
+    eaw_normal_sigma: jnp.ndarray
+    eaw_depth_sigma: jnp.ndarray
+    eaw_luma_sigma: jnp.ndarray
+    gather_normal_sigma: jnp.ndarray
+    gather_depth_sigma: jnp.ndarray
+    gather_luma_sigma: jnp.ndarray
+    temporal_upscale_feedback: jnp.ndarray
+    taa_feedback: jnp.ndarray
+
+
+def default_settings() -> Settings:
+    return Settings(
+        eaw_normal_sigma=jnp.float32(128.0),
+        eaw_depth_sigma=jnp.float32(3.0),
+        eaw_luma_sigma=jnp.float32(3.0),
+        gather_normal_sigma=jnp.float32(64.0),
+        gather_depth_sigma=jnp.float32(2.0),
+        gather_luma_sigma=jnp.float32(3.0),
+        temporal_upscale_feedback=jnp.float32(0.975),
+        taa_feedback=jnp.float32(0.9),
+    )

@@ -1,0 +1,111 @@
+"""Scene ingest: OBJ parsing, dedup, Scene pytree assembly."""
+
+import os
+
+import numpy as np
+
+from capsaicin_tpu.scene import build_scene, load_obj
+from capsaicin_tpu.scene.procedural import (
+    cornell_box,
+    cornell_box_textured,
+    colonnade,
+    write_obj,
+)
+from capsaicin_tpu.scene.scene import load_scene_obj
+
+
+def test_obj_roundtrip_cornell(tmp_path):
+    meshes = cornell_box()
+    path = os.path.join(tmp_path, "cornell_box.obj")
+    write_obj(path, meshes)
+    loaded, materials = load_obj(path)
+    assert len(loaded) == len(meshes) == 8
+    names = [m.name for m in loaded]
+    assert "light" in names and "floor" in names and "tallBox" in names
+    # triangle counts survive the round trip
+    for a, b in zip(meshes, loaded):
+        assert len(a.indices) == len(b.indices)
+    assert "leftWall" in materials
+    np.testing.assert_allclose(materials["leftWall"].kd, (0.504, 0.052, 0.04))
+
+
+def test_dedup_shares_vertices(tmp_path):
+    """A quad written as 2 triangles with 4 unique corners dedups to 4 verts."""
+    path = os.path.join(tmp_path, "quad.obj")
+    with open(path, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n")
+        f.write("vn 0 0 1\n")
+        f.write("f 1//1 2//1 3//1\nf 1//1 3//1 4//1\n")
+    meshes, _ = load_obj(path)
+    assert len(meshes) == 1
+    assert len(meshes[0].positions) // 3 == 4  # deduplicated
+    assert len(meshes[0].indices) == 6
+
+
+def test_negative_and_missing_indices(tmp_path):
+    path = os.path.join(tmp_path, "neg.obj")
+    with open(path, "w") as f:
+        f.write("v 0 0 0\nv 1 0 0\nv 0 1 0\n")
+        f.write("f -3 -2 -1\n")
+    meshes, _ = load_obj(path)
+    assert len(meshes[0].indices) == 3
+    # missing normals -> zeros; missing texcoords -> zeros
+    assert meshes[0].normals == [0.0] * 9
+    assert meshes[0].texcoords == [0.0] * 6
+
+
+def test_build_scene_offsets():
+    scene = build_scene(cornell_box())
+    assert scene.num_meshes == 8
+    # light(2) + 2 boxes(12 each) + 5 walls(2 each)
+    assert scene.num_triangles == 2 + 12 + 12 + 5 * 2
+    # mesh offset tables are consistent
+    assert scene.mesh_first_vertex[0] == 0
+    for i in range(1, scene.num_meshes):
+        assert (
+            scene.mesh_first_vertex[i]
+            == scene.mesh_first_vertex[i - 1] + scene.mesh_vertex_count[i - 1]
+        )
+        assert (
+            scene.mesh_first_index[i]
+            == scene.mesh_first_index[i - 1] + scene.mesh_index_count[i - 1]
+        )
+    # flattened tris agree with indexed fetch
+    t = 0
+    tris = scene.triangles()
+    for mesh_id in range(scene.num_meshes):
+        fi = scene.mesh_first_index[mesh_id]
+        fv = scene.mesh_first_vertex[mesh_id]
+        for k in range(scene.mesh_index_count[mesh_id] // 3):
+            i0 = scene.indices[fi + 3 * k] + fv
+            np.testing.assert_allclose(tris[t, 0], scene.positions[i0])
+            assert scene.tri_mesh[t] == mesh_id
+            t += 1
+
+
+def test_untextured_mesh_gets_invalid_id():
+    scene = build_scene(cornell_box())
+    assert np.all(scene.mesh_texture == -1)  # INVALID_ID analog
+
+
+def test_textured_scene_atlas():
+    meshes, textures = cornell_box_textured()
+    scene = build_scene(meshes, textures)
+    floor = [i for i, m in enumerate(meshes) if m.name == "floor"][0]
+    assert scene.mesh_texture[floor] >= 0
+    assert scene.atlas.shape[0] >= 1
+    assert scene.atlas.shape[3] == 4
+
+
+def test_colonnade_tri_count():
+    meshes = colonnade(target_tris=50_000)
+    scene = build_scene(meshes)
+    assert 40_000 <= scene.num_triangles <= 60_000
+
+
+def test_load_scene_obj_end_to_end(tmp_path):
+    meshes = cornell_box()
+    path = os.path.join(tmp_path, "cb.obj")
+    write_obj(path, meshes)
+    scene = load_scene_obj(path)
+    assert scene.num_triangles == 36
