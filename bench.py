@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark harness: Mrays/s (traversal + shade) on the Cornell GI config.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the 150 Mrays/s north-star target
+(BASELINE.md; the reference publishes no numbers of its own).
+
+Config (BASELINE.json config 2 shape): Cornell box at 1920x1080, full
+9-pass pipeline (primary + direct NEE + 1-bounce GI with per-bounce NEE +
+gather + SVGF + EAW + TAA). Rays counted: primary, direct shadow, indirect
+bounce, indirect shadow = 4 rays/pixel/frame.
+
+Flags:
+  --width/--height/--frames/--bounces     config overrides
+  --scene cornell|colonnade               scene selection
+  --traversal auto|brute|bvh              intersector backend
+  --all                                   additionally print per-config lines
+"""
+
+import argparse
+import json
+import sys
+import time
+
+
+NORTH_STAR_MRAYS = 150.0
+
+
+def rays_per_frame(width, height, bounces, lowres):
+    full = width * height
+    half = full // 4 if lowres else full
+    # primary + direct shadow at full res; per bounce: 1 indirect ray and,
+    # for bounces >= 1, 1 NEE shadow ray at indirect res
+    indirect = half * bounces  # bounce rays traced (final trace is dead-skipped)
+    nee = half * bounces
+    return full * 2 + indirect + nee
+
+
+def run_config(width, height, bounces, scene_name, traversal, frames, lowres=False):
+    import numpy as np
+
+    from capsaicin_tpu.render import RenderOptions, RenderSession
+    from capsaicin_tpu.scene import build_scene
+    from capsaicin_tpu.scene.procedural import colonnade, cornell_box, make_camera
+
+    options = RenderOptions(num_diffuse_bounces=bounces, lowres_indirect=lowres)
+    session = RenderSession(width=width, height=height, options=options, traversal=traversal)
+    session.set_camera(make_camera("cornell" if scene_name == "cornell" else "colonnade", width, height))
+    meshes = cornell_box() if scene_name == "cornell" else colonnade()
+    session.set_scene(build_scene(meshes))
+
+    # compile + warm up
+    session.render()
+    session.render()
+
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(frames):
+        out = session.render_async()
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / frames
+
+    img = np.asarray(out)
+    assert np.all(np.isfinite(img)), "non-finite pixels in benchmark render"
+    mrays = rays_per_frame(width, height, bounces, lowres) / dt / 1e6
+    return {
+        "mrays_per_s": mrays,
+        "ms_per_frame": dt * 1e3,
+        "fps": 1.0 / dt,
+        "spp_per_s": 1.0 / dt,  # 1 spp per frame, progressive accumulation
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--bounces", type=int, default=1)
+    ap.add_argument("--scene", default="cornell")
+    ap.add_argument("--traversal", default="auto")
+    ap.add_argument("--all", action="store_true")
+    args = ap.parse_args()
+
+    res = run_config(
+        args.width, args.height, args.bounces, args.scene, args.traversal, args.frames
+    )
+    value = round(res["mrays_per_s"], 2)
+    print(
+        json.dumps(
+            {
+                "metric": "Mrays/s traversal+shade, Cornell 1080p 1-bounce GI full pipeline",
+                "value": value,
+                "unit": "Mrays/s",
+                "vs_baseline": round(value / NORTH_STAR_MRAYS, 3),
+            }
+        )
+    )
+    if args.all:
+        print(json.dumps({"detail": res}), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Multi-chip scaling: shard the pixel grid over an ICI device mesh.
+
+The reference is single-GPU; its only "parallelism" is pixel data-parallelism
+inside one device (SURVEY.md §2.4). The TPU-native scale-out maps the same
+structure onto a `jax.sharding.Mesh`:
+
+  * the framebuffer (and all per-pixel state) is sharded over image rows —
+    rays are independent, so the render passes partition trivially
+  * the scene / BVH / blue-noise table are replicated (broadcast once)
+  * XLA SPMD inserts the halo exchanges for the stencil passes (they are
+    expressed as rolls, which lower to cheap collective-permutes on ICI) and
+    the gathers for history reprojection
+  * the final frame either stays sharded (per-host DMA) or is gathered for
+    display — the only frame-loop collective, riding ICI not DCN
+
+Use `make_mesh()` then `shard_session_fn()` to get a pjit-ed frame step with
+row sharding; tests exercise this on a virtual 8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+ROWS = "rows"
+
+
+def make_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), (ROWS,))
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 (image height) across the mesh."""
+    return NamedSharding(mesh, P(ROWS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _shard_like(mesh: Mesh, tree, height: int):
+    """Sharding pytree: arrays whose leading dim == height are row-sharded,
+    everything else replicated."""
+    rows = row_sharding(mesh)
+    rep = replicated(mesh)
+
+    def pick(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == height:
+            return rows
+        return rep
+
+    return jax.tree.map(pick, tree)
+
+
+def shard_frame_state(mesh: Mesh, state, height: int):
+    """Place a FrameState with row sharding."""
+    return jax.device_put(state, _shard_like(mesh, state, height))
+
+
+def shard_scene(mesh: Mesh, scene):
+    """Replicate the scene pytree across the mesh."""
+    return jax.device_put(scene, replicated(mesh))
+
+
+def build_sharded_step(mesh: Mesh, step_fn, height: int, example_state, example_args):
+    """jit `step_fn(scene, bvh, camera, state, settings, noise)` with row
+    sharding on the per-pixel state/outputs and replication elsewhere."""
+    scene, bvh, camera, _, settings, noise = example_args
+    in_shardings = (
+        jax.tree.map(lambda _: replicated(mesh), scene),
+        jax.tree.map(lambda _: replicated(mesh), bvh),
+        jax.tree.map(lambda _: replicated(mesh), camera),
+        _shard_like(mesh, example_state, height),
+        jax.tree.map(lambda _: replicated(mesh), settings),
+        replicated(mesh),
+    )
+    return jax.jit(step_fn, in_shardings=in_shardings, donate_argnums=(3,))

@@ -1,0 +1,606 @@
+"""The render passes: the TPU-native equivalents of the reference's 9-pass
+frame graph (RaytracingSystem::Run, raytracing_system.cpp:230-318, dataflow in
+SURVEY.md §3.4).
+
+Each DXR dispatch / compute PSO becomes a pure function over [H,W,...] arrays;
+the whole chain is jit-compiled into one XLA program in pipeline.py, which is
+what replaces command lists, descriptor tables, and UAV barriers — XLA's
+dataflow ordering provides pass ordering, and fusion replaces the fixed 8x8
+thread-group tiling.
+
+Gbuffer encoding differs from the reference's float4 bit-packing (we keep
+typed arrays instead of asfloat(uint) tricks):
+  geo gbuffer  : {"bary": [H,W,2] f32, "prim": [H,W] i32}  prim is the GLOBAL
+                 triangle id (flattened-TLAS analog of InstanceID/PrimitiveIndex,
+                 valid because instances are identity transforms,
+                 tlas_system.cpp:39-58); -1 = miss
+  normal/depth : {"oct": [H,W,2] f32, "inst": [H,W] i32, "depth": [H,W] f32}
+                 matching float4(OctEncode(n), instance, |cam-p|)
+                 (rt_direct_lighting.hlsl:82); depth==0 flags background
+
+Traversal is injected as two callables so the brute-force oracle and the BVH
+backends interchange:
+  closest_fn(origins [N,3], dirs [N,3], tmin, tmax) -> {"t","u","v","prim"}
+  any_fn(origins [N,3], dirs [N,3], tmin, tmax) -> bool [N]
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+from ..ops import camera as cam
+from ..ops import color as col
+from ..ops import mathops as m
+from ..ops import resample, sampling
+from . import shading
+from .settings import (
+    OUTPUT_COMBINED,
+    OUTPUT_DIRECT,
+    OUTPUT_INDIRECT,
+    OUTPUT_VARIANCE,
+    RenderOptions,
+    Settings,
+)
+
+EPS = 1e-8
+MAX_HISTORY_LENGTH = 256.0  # temporal_accumulation.hlsl:218
+FIREFLY_CLAMP = 10.0  # eaw_blur.hlsl:30-33
+SPATIAL_VARIANCE_THRESHOLD = 8.0  # eaw_blur.hlsl:141
+
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def shift2d(img, dx: int, dy: int):
+    """out[y, x] = img[y+dy, x+dx]; returns (shifted, valid mask [H,W]).
+
+    The stencil-tap primitive: expressed as roll+mask so XLA lowers it to
+    cheap VPU shifts single-chip and collective-permute halo exchange when the
+    image is sharded over a device mesh.
+    """
+    if dx == 0 and dy == 0:
+        h, w = img.shape[:2]
+        return img, jnp.ones((h, w), bool)
+    rolled = jnp.roll(img, shift=(-dy, -dx), axis=(0, 1))
+    h, w = img.shape[:2]
+    ys = jnp.arange(h)[:, None] + dy
+    xs = jnp.arange(w)[None, :] + dx
+    valid = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
+    return rolled, valid
+
+
+def _flat(img):
+    return img.reshape((-1,) + img.shape[2:])
+
+
+def _unflat(arr, h, w):
+    return arr.reshape((h, w) + arr.shape[1:])
+
+
+def interleave_offset(frame_count):
+    """2x2 interleave phase; rt_indirect.hlsl:53-55 (ox, oy)."""
+    fc = frame_count % 4
+    return fc // 2, fc % 2
+
+
+# --------------------------------------------------------------------------
+# Pass 1: primary visibility (rt_primary_visibility.hlsl)
+
+
+def trace_primary(closest_fn, camera, width, height, frame_count):
+    xy = cam.pixel_grid(width, height)
+    o, d = cam.create_primary_rays(camera, xy, (width, height), frame_count)
+    hit = closest_fn(_flat(o), _flat(d), 0.0, 1e6)
+    return {
+        "bary": _unflat(jnp.stack([hit["u"], hit["v"]], -1), height, width).astype(jnp.float32),
+        "prim": _unflat(hit["prim"], height, width),
+    }
+
+
+# --------------------------------------------------------------------------
+# Pass 2: direct lighting (rt_direct_lighting.hlsl)
+
+
+def direct_lighting(scene, any_fn, camera, gb, width, height, frame_count, options: RenderOptions):
+    prim = gb["prim"]
+    miss = prim < 0
+    p, n, tx = shading.interpolate_attributes(
+        scene, _flat(prim), _flat(gb["bary"])[..., 0], _flat(gb["bary"])[..., 1]
+    )
+    kd = shading.get_material(scene, _flat(prim), tx, options.use_material_kd)
+    black = jnp.all(kd < 1e-5, axis=-1)
+
+    ldir, unshadowed = shading.direct_illumination_terms(p, n, kd, frame_count)
+    shadow_hit = any_fn(p, ldir, shading.SHADOW_TMIN, shading.LIGHT_DISTANCE)
+    di = jnp.where(shadow_hit[..., None], 0.0, unshadowed)
+
+    depth = jnp.sqrt(jnp.sum((camera.position - p) ** 2, axis=-1))
+    oct = m.oct_encode(n)
+
+    miss_f = _flat(miss)
+    invalid = miss_f | black
+    direct = jnp.where(
+        miss_f[..., None], shading.SKY_COLOR, jnp.where(black[..., None], 0.0, di)
+    )
+    albedo = jnp.where(miss_f[..., None], 1.0, jnp.where(black[..., None], 0.0, kd))
+    nd_oct = jnp.where(invalid[..., None], 0.0, oct)
+    nd_depth = jnp.where(invalid, 0.0, depth)
+    inst = jnp.where(invalid, -1, scene.tri_mesh[jnp.clip(_flat(prim), 0, None)])
+
+    return (
+        _unflat(direct, height, width),
+        _unflat(albedo, height, width),
+        {
+            "oct": _unflat(nd_oct, height, width),
+            "inst": _unflat(inst, height, width),
+            "depth": _unflat(nd_depth, height, width),
+        },
+    )
+
+
+# --------------------------------------------------------------------------
+# Pass 3: indirect diffuse GI (rt_indirect.hlsl) — the wavefront loop
+
+
+def indirect_gi(
+    scene,
+    closest_fn,
+    any_fn,
+    camera,
+    prev_camera,
+    gb,
+    combined_history,
+    prev_nd,
+    noise,
+    width,
+    height,
+    frame_count,
+    options: RenderOptions,
+):
+    """Iterative path loop restructured as a wavefront over all pixels with
+    lane masking (rt_indirect.hlsl:42-175). Rays for every pixel advance in
+    lock-step through bounces; inactive lanes are masked. The final TraceRay
+    of the reference's last iteration is provably dead (its payload is never
+    shaded) and is skipped."""
+    if options.lowres_indirect:
+        w2, h2 = width // 2, height // 2
+        ox, oy = interleave_offset(frame_count)
+        xy = cam.pixel_grid(w2, h2)
+        fullres_xy = xy * 2 + jnp.stack(
+            [jnp.broadcast_to(ox, xy[..., 0].shape), jnp.broadcast_to(oy, xy[..., 0].shape)], -1
+        )
+    else:
+        w2, h2 = width, height
+        xy = cam.pixel_grid(w2, h2)
+        fullres_xy = xy
+
+    fx = _flat(fullres_xy)
+    # gbuffer fetch at fullres_xy
+    prim0 = gb["prim"][fx[:, 1], fx[:, 0]]
+    bary0 = gb["bary"][fx[:, 1], fx[:, 0]]
+
+    npix = fx.shape[0]
+    color = jnp.zeros((npix, 3))
+    throughput = jnp.ones((npix, 3))
+    active = prim0 >= 0
+    primary_miss = ~active
+
+    prim = prim0
+    u = bary0[..., 0]
+    v = bary0[..., 1]
+
+    for bounce in range(options.num_diffuse_bounces + 1):
+        if bounce > 0:
+            # lanes whose indirect ray missed: add sky, terminate
+            miss_now = active & (prim < 0)
+            color = jnp.where(miss_now[..., None], color + throughput * shading.SKY_COLOR, color)
+            active = active & (prim >= 0)
+
+        p, n, tx = shading.interpolate_attributes(scene, prim, u, v)
+        kd = shading.get_material(scene, prim, tx, options.use_material_kd)
+        active = active & ~jnp.all(kd < 1e-5, axis=-1)
+
+        if bounce != 0:
+            ldir, unshadowed = shading.direct_illumination_terms(p, n, kd, frame_count)
+            if options.gbuffer_feedback:
+                prev_uv = cam.calculate_image_plane_uv(prev_camera, p)
+                offscreen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
+                prev_xy = resample.uv_to_xy(prev_uv, (width, height))
+                pix = jnp.floor(prev_xy).astype(jnp.int32)
+                pix_x = jnp.clip(pix[..., 0], 0, width - 1)
+                pix_y = jnp.clip(pix[..., 1], 0, height - 1)
+                prev_depth = prev_nd["depth"][pix_y, pix_x]
+                cur_depth = jnp.sqrt(jnp.sum((p - prev_camera.position) ** 2, axis=-1))
+                disocc = offscreen | (
+                    jnp.abs(prev_depth - cur_depth) / jnp.maximum(cur_depth, 1e-20) > 0.05
+                )
+                # history reuse: fetch shaded result from last frame's combined
+                # history (multi-bounce for the cost of one, rt_indirect.hlsl:118-145)
+                hist = resample.sample_bilinear(
+                    combined_history[..., :3], prev_uv, (width, height)
+                )
+                reuse = active & ~disocc
+                color = jnp.where(reuse[..., None], color + throughput * hist, color)
+                active = active & disocc
+                nee_mask = active
+            else:
+                nee_mask = active
+            shadow_hit = any_fn(p, ldir, shading.SHADOW_TMIN, shading.LIGHT_DISTANCE)
+            add = jnp.where((nee_mask & ~shadow_hit)[..., None], throughput * unshadowed, 0.0)
+            color = color + add
+
+        if bounce == options.num_diffuse_bounces:
+            break  # reference's last TraceRay is dead work
+
+        s = sampling.sample2d_bluenoise4x4(noise, fx, frame_count * 25 + bounce)
+        d, brdf, pdf = shading.lambert_sample(s, n)
+        active = active & (pdf >= 1e-5)
+        tp_scale = brdf * jnp.maximum(m.dot(n, d), 0.0) / jnp.maximum(pdf, 1e-20)
+        throughput = throughput * tp_scale[..., None]
+        if bounce != 0:
+            throughput = throughput * kd
+
+        hit = closest_fn(p, d, 1e-4, 1e5)
+        prim = jnp.where(active, hit["prim"], -1)
+        u = hit["u"]
+        v = hit["v"]
+
+    color = jnp.where(primary_miss[..., None], 0.0, color)
+    return _unflat(color, h2, w2)
+
+
+# --------------------------------------------------------------------------
+# Pass 4: spatial gather (spatial_gather.hlsl)
+
+
+def _subsampled_nd(nd, frame_count, width, height, options: RenderOptions):
+    """normal/depth at the indirect pass's resolution: fullres, or the 2x2
+    interleave-phase subsample under UPSCALE2X (spatial_gather.hlsl:36-46)."""
+    if not options.lowres_indirect:
+        return nd["oct"], nd["depth"]
+    ox, oy = interleave_offset(frame_count)
+    oct = jnp.roll(nd["oct"], shift=(-oy, -ox), axis=(0, 1))[::2, ::2]
+    depth = jnp.roll(nd["depth"], shift=(-oy, -ox), axis=(0, 1))[::2, ::2]
+    return oct, depth
+
+
+def spatial_gather(indirect, nd, width, height, frame_count, settings: Settings, options: RenderOptions):
+    """7x7 edge-aware cross-bilateral filter of the raw indirect."""
+    oct, depth = _subsampled_nd(nd, frame_count, width, height, options)
+    center_n = m.oct_decode(oct)
+    center_d = depth
+    center_c = indirect
+    center_l = m.luminance(center_c)
+
+    s_depth = center_d * settings.gather_depth_sigma
+    s_normal = settings.gather_normal_sigma
+    s_luma = settings.gather_luma_sigma
+
+    background = center_d < 1e-5
+
+    acc = jnp.zeros_like(center_c)
+    tw = jnp.zeros_like(center_d)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            c, valid = shift2d(center_c, dx, dy)
+            g_oct, _ = shift2d(oct, dx, dy)
+            d_tap, _ = shift2d(center_d, dx, dy)
+            n_tap = m.oct_decode(g_oct)
+            valid = valid & (d_tap >= 1e-5)
+            r = float((dx * dx + dy * dy) ** 0.5)
+            w = (
+                m.normal_weight(center_n, n_tap, s_normal)
+                * m.depth_weight(center_d, d_tap, s_depth * r)
+                * m.luma_weight(center_l, m.luminance(c), s_luma)
+            )
+            w = jnp.where(valid, w, 0.0)
+            acc = acc + w[..., None] * c
+            tw = tw + w
+
+    filtered = jnp.where((tw < EPS)[..., None], center_c, acc / jnp.maximum(tw, EPS)[..., None])
+    return jnp.where(background[..., None], center_c, filtered)
+
+
+# --------------------------------------------------------------------------
+# Pass 5: SVGF temporal accumulation (temporal_accumulation.hlsl Accumulate)
+
+
+def _closest_depth_3x3(depth):
+    """3x3 min of nonzero depths; temporal_accumulation.hlsl:179-205."""
+    best = depth
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            d_tap, valid = shift2d(depth, dx, dy)
+            take = valid & (d_tap != 0.0) & (d_tap < best)
+            best = jnp.where(take, d_tap, best)
+    return best
+
+
+def svgf_accumulate(
+    color_in,
+    nd,
+    prev_nd,
+    camera,
+    prev_camera,
+    color_history,
+    moments_history,
+    width,
+    height,
+    frame_count,
+    alpha_setting,
+    options: RenderOptions,
+):
+    """Reprojection + history/moments blend. color_in is the gathered indirect
+    at input resolution (half under UPSCALE2X); histories are fullres [H,W,4].
+
+    Returns (new color_history [H,W,4] rgb+variance,
+             new moments_history [H,W,4] m1,m2,0,len)."""
+    in_h, in_w = color_in.shape[:2]
+    xy = cam.pixel_grid(width, height).astype(jnp.float32)
+    this_uv = (xy + 0.5) / jnp.asarray([width, height], jnp.float32)
+
+    # current color resampled at this pixel (bilinear vs the input buffer size)
+    color = resample.sample_bilinear(color_in, this_uv, (in_w, in_h))
+    lum = m.luminance(color)
+    fresh_moments = jnp.stack([lum, lum * lum], axis=-1)
+
+    depth = nd["depth"]
+    background = depth < 1e-5
+
+    hit_pos = cam.reconstruct_world_position(camera, this_uv, depth)
+    prev_uv = cam.calculate_image_plane_uv(prev_camera, hit_pos)
+    offscreen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
+    disocclusion = offscreen | (frame_count == 0)
+
+    prev_xy = resample.uv_to_xy(prev_uv, (width, height))
+    pix_x = jnp.clip(jnp.floor(prev_xy[..., 0]).astype(jnp.int32), 0, width - 1)
+    pix_y = jnp.clip(jnp.floor(prev_xy[..., 1]).astype(jnp.int32), 0, height - 1)
+
+    prev_closest_img = _closest_depth_3x3(prev_nd["depth"])
+    prev_closest = prev_closest_img[pix_y, pix_x]
+    cur_closest = jnp.sqrt(jnp.sum((hit_pos - prev_camera.position) ** 2, axis=-1))
+    disocclusion = disocclusion | (
+        jnp.abs(prev_closest - cur_closest) / jnp.maximum(cur_closest, 1e-20) > 0.05
+    )
+
+    history = resample.resample_bicubic(color_history[..., :3].astype(jnp.float32), prev_uv, (width, height))
+    moments_hist = resample.resample_bicubic(
+        moments_history[..., :3].astype(jnp.float32), prev_uv, (width, height)
+    )[..., :2]
+    history_length = moments_history[..., 3][pix_y, pix_x].astype(jnp.float32)
+
+    alpha = jnp.minimum(
+        alpha_setting, 1.0 - 1.0 / (history_length + 1.0)
+    )
+    alpha = jnp.where(history_length < MAX_HISTORY_LENGTH, alpha, alpha_setting)
+
+    if options.lowres_indirect:
+        ox, oy = interleave_offset(frame_count)
+        pix = cam.pixel_grid(width, height)
+        not_phase = (pix[..., 0] % 2 != ox) | (pix[..., 1] % 2 != oy)
+        alpha = jnp.where(not_phase, 1.0, alpha)
+        history_length = jnp.where(not_phase, history_length - 1.0, history_length)
+
+    moments = (
+        fresh_moments * (1.0 - alpha[..., None]) + moments_hist * alpha[..., None]
+    )
+    variance = jnp.abs(moments[..., 1] - moments[..., 0] ** 2)
+    blended = color * (1.0 - alpha[..., None]) + history * alpha[..., None]
+
+    reset = background | disocclusion
+    out_color = jnp.where(
+        reset[..., None],
+        jnp.concatenate([color, jnp.zeros_like(lum)[..., None]], -1),
+        jnp.concatenate([blended, variance[..., None]], -1),
+    )
+    out_moments = jnp.where(
+        reset[..., None],
+        jnp.concatenate(
+            [fresh_moments, jnp.zeros_like(lum)[..., None], jnp.ones_like(lum)[..., None]], -1
+        ),
+        jnp.concatenate(
+            [moments, jnp.zeros_like(lum)[..., None], (history_length + 1.0)[..., None]], -1
+        ),
+    )
+    return out_color, out_moments
+
+
+# --------------------------------------------------------------------------
+# Pass 6: EAW a-trous denoise chain (eaw_blur.hlsl)
+
+_EAW_KW = (1.0, 2.0 / 3.0, 1.0 / 6.0)  # eaw_blur.hlsl:76
+
+
+def eaw_blur(color4, nd, stride: int, settings: Settings, options: RenderOptions):
+    """One Blur dispatch: 5x5 a-trous with variance-guided luma sigma."""
+    rgb = jnp.minimum(color4[..., :3], FIREFLY_CLAMP)
+    var = color4[..., 3]
+    oct = nd["oct"]
+    center_n = m.oct_decode(oct)
+    center_d = nd["depth"]
+    center_l = m.luminance(rgb)
+
+    s_depth = center_d * float(stride) * settings.eaw_depth_sigma
+    s_normal = settings.eaw_normal_sigma
+    s_luma = settings.eaw_luma_sigma * jnp.sqrt(jnp.maximum(0.0, var + EPS))
+
+    acc_c = jnp.zeros_like(rgb)
+    acc_v = jnp.zeros_like(var)
+    tw = jnp.zeros_like(var)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            sx, sy = dx * stride, dy * stride
+            c4, valid = shift2d(color4, sx, sy)
+            c = jnp.minimum(c4[..., :3], FIREFLY_CLAMP)
+            v_tap = c4[..., 3]
+            g_oct, _ = shift2d(oct, sx, sy)
+            d_tap, _ = shift2d(center_d, sx, sy)
+            valid = valid & (d_tap >= 1e-5)
+            n_tap = m.oct_decode(g_oct)
+            r = float((dx * dx + dy * dy) ** 0.5)
+            w = m.normal_weight(center_n, n_tap, s_normal) * m.depth_weight(
+                center_d, d_tap, s_depth * r
+            )
+            if options.use_variance:
+                lw = m.luma_weight(center_l, m.luminance(c), s_luma)
+                hw = _EAW_KW[abs(dx)] * _EAW_KW[abs(dy)]
+            else:
+                lw = 1.0
+                hw = 1.0
+            w_full = jnp.where(valid, w * hw * lw, 0.0)
+            acc_c = acc_c + w_full[..., None] * c
+            tw = tw + w_full
+            if options.use_variance:
+                w_sq = jnp.where(valid, (hw * w) ** 2 * lw * lw, 0.0)
+                acc_v = acc_v + w_sq * v_tap
+
+    out_c = jnp.where((tw < EPS)[..., None], rgb, acc_c / jnp.maximum(tw, EPS)[..., None])
+    out_v = jnp.where(tw < EPS, var, acc_v / jnp.maximum(tw, EPS) ** 2)
+    background = center_d < 1e-5
+    out_c = jnp.where(background[..., None], rgb, out_c)
+    out_v = jnp.where(background, var, out_v)
+    return jnp.concatenate([out_c, out_v[..., None]], -1)
+
+
+def eaw_blur_disocclusion(color4, nd, moments4, settings: Settings, options: RenderOptions):
+    """BlurDisocclusion: 7x7 blur + spatial variance estimate where history
+    is shorter than 8 frames (eaw_blur.hlsl:139-223)."""
+    rgb = jnp.minimum(color4[..., :3], FIREFLY_CLAMP)
+    var = color4[..., 3]
+    hist_len = moments4[..., 3]
+    oct = nd["oct"]
+    center_n = m.oct_decode(oct)
+    center_d = nd["depth"]
+    center_l = m.luminance(rgb)
+
+    s_depth = center_d * settings.eaw_depth_sigma
+    s_normal = settings.eaw_normal_sigma
+    s_luma = settings.eaw_luma_sigma
+
+    acc_c = jnp.zeros_like(rgb)
+    acc_m = jnp.zeros_like(moments4[..., :2])
+    tw = jnp.zeros_like(var)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            c4, valid = shift2d(color4, dx, dy)
+            c = jnp.minimum(c4[..., :3], FIREFLY_CLAMP)
+            g_oct, _ = shift2d(oct, dx, dy)
+            d_tap, _ = shift2d(center_d, dx, dy)
+            m_tap, _ = shift2d(moments4[..., :2], dx, dy)
+            valid = valid & (d_tap >= 1e-5)
+            n_tap = m.oct_decode(g_oct)
+            r = float((dx * dx + dy * dy) ** 0.5)
+            w = (
+                m.normal_weight(center_n, n_tap, s_normal)
+                * m.depth_weight(center_d, d_tap, s_depth * r)
+                * m.luma_weight(center_l, m.luminance(c), s_luma)
+            )
+            w = jnp.where(valid, w, 0.0)
+            acc_c = acc_c + w[..., None] * c
+            acc_m = acc_m + w[..., None] * m_tap
+            tw = tw + w
+
+    f_c = jnp.where((tw < EPS)[..., None], rgb, acc_c / jnp.maximum(tw, EPS)[..., None])
+    f_m = jnp.where((tw < EPS)[..., None], 0.0, acc_m / jnp.maximum(tw, EPS)[..., None])
+    boost = SPATIAL_VARIANCE_THRESHOLD / jnp.maximum(hist_len, 1e-5)
+    f_v = boost * jnp.abs(f_m[..., 1] - f_m[..., 0] ** 2)
+
+    passthrough = (center_d < 1e-5) | (hist_len >= SPATIAL_VARIANCE_THRESHOLD)
+    out_c = jnp.where(passthrough[..., None], rgb, f_c)
+    out_v = jnp.where(passthrough, var, f_v)
+    return jnp.concatenate([out_c, out_v[..., None]], -1)
+
+
+def denoise(color4, nd, moments4, settings: Settings, options: RenderOptions):
+    """The EAW chain: disocclusion blur, then strides 1, 3 (and 5, 7 when
+    eaw5); raytracing_system.cpp:1437-1539."""
+    if not options.denoise:
+        return color4
+    x = eaw_blur_disocclusion(color4, nd, moments4, settings, options)
+    strides = (1, 3, 5, 7) if options.eaw5 else (1, 3)
+    for s in strides:
+        x = eaw_blur(x, nd, s, settings, options)
+    return x
+
+
+# --------------------------------------------------------------------------
+# Pass 7: combine (combine_illumination.hlsl)
+
+
+def combine(direct, indirect4, albedo, output: int):
+    indirect = indirect4[..., :3]
+    if output == OUTPUT_COMBINED:
+        return indirect * albedo + direct
+    if output == OUTPUT_DIRECT:
+        return direct
+    if output == OUTPUT_INDIRECT:
+        return indirect
+    if output == OUTPUT_VARIANCE:
+        return jnp.repeat(indirect4[..., 3:4], 3, axis=-1)
+    raise ValueError(f"unknown output mode {output}")
+
+
+# --------------------------------------------------------------------------
+# Pass 8: TAA (temporal_accumulation.hlsl TAA)
+
+
+def _neighbourhood_aabb(color, scale):
+    """5x5 YCoCg mean +- scale*sigma AABB; temporal_accumulation.hlsl:97-137."""
+    tc = col.rgb_to_ycocg(col.simple_tonemap(color))
+    m1 = jnp.zeros_like(tc)
+    m2 = jnp.zeros_like(tc)
+    h, w = color.shape[:2]
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            # clamped (not skipped) taps, matching the hlsl clamp
+            ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+            xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+            v = col.rgb_to_ycocg(col.simple_tonemap(color[ys][:, xs]))
+            m1 = m1 + v
+            m2 = m2 + v * v
+    m1 = m1 / 25.0
+    m2 = m2 / 25.0
+    dev = jnp.sqrt(jnp.abs(m2 - m1 * m1)) * scale[..., None]
+    pmin = jnp.minimum(m1 - dev, tc)
+    pmax = jnp.maximum(m1 + dev, tc)
+    return pmin, pmax
+
+
+def taa(combined, combined_history, nd, camera, prev_camera, width, height, taa_feedback):
+    xy = cam.pixel_grid(width, height).astype(jnp.float32)
+    this_uv = (xy + 0.5) / jnp.asarray([width, height], jnp.float32)
+    depth = nd["depth"]
+    background = depth < 1e-5
+
+    hit_pos = cam.reconstruct_world_position(camera, this_uv, depth)
+    prev_uv = cam.calculate_image_plane_uv(prev_camera, hit_pos)
+    velocity = jnp.sqrt(
+        jnp.sum(((prev_uv - this_uv) * jnp.asarray([width, height], jnp.float32)) ** 2, -1)
+    )
+    offscreen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
+
+    cur_sample = resample.sample_bilinear(combined, this_uv, (width, height))
+
+    is_static = velocity < 1e-3
+    alpha = jnp.where(is_static, 0.98, 0.6)
+    aabb_scale = jnp.where(is_static, 5.0, 0.75)
+    alpha = jnp.minimum(taa_feedback, alpha)
+
+    history = col.rgb_to_ycocg(
+        col.simple_tonemap(
+            resample.resample_bicubic(combined_history[..., :3].astype(jnp.float32), prev_uv, (width, height))
+        )
+    )
+    color_tc = col.rgb_to_ycocg(col.simple_tonemap(cur_sample))
+    pmin, pmax = _neighbourhood_aabb(combined, aabb_scale)
+    history = col.clip_to_aabb(pmin, pmax, history)
+    blended = col.invert_simple_tonemap(
+        col.ycocg_to_rgb(color_tc * (1.0 - alpha[..., None]) + history * alpha[..., None])
+    )
+    out = jnp.where((background | offscreen)[..., None], cur_sample, blended)
+    return out

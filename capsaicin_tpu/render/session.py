@@ -1,0 +1,150 @@
+"""RenderSession: the host-side orchestration layer.
+
+Replaces the reference's RenderSystem + RaytracingSystem host plumbing
+(render_system.cpp: frame executor, fencing, per-pass timings;
+capsaicin.cpp: the public facade). On TPU almost all of that dissolves into
+one jitted frame function with donated state; what remains here is device
+placement, jit caching per (resolution, options), camera updates, frame
+timing, and readback.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.camera import Camera
+from ..scene.scene import Scene
+from ..scene import textures
+from . import pipeline
+from .settings import RenderOptions, Settings, default_settings
+from .traversal import make_traversal, resolve_mode
+
+
+class RenderSession:
+    def __init__(
+        self,
+        width: int = 1920,
+        height: int = 1080,
+        options: Optional[RenderOptions] = None,
+        settings: Optional[Settings] = None,
+        traversal: str = "auto",
+        camera: Optional[Camera] = None,
+    ):
+        self.width = width
+        self.height = height
+        self.options = options or RenderOptions()
+        self.settings = settings or default_settings()
+        self.traversal_mode = traversal
+        from ..ops.camera import default_camera
+
+        self.camera = camera or default_camera(aspect=height / width)
+        self.noise = jnp.asarray(textures.blue_noise_256())
+        self.scene_dev: Optional[Scene] = None
+        self.bvh = None
+        self.state: Optional[pipeline.FrameState] = None
+        self._frame_fn = None
+        self._timings: Dict[str, float] = {}
+
+    # -- scene ------------------------------------------------------------
+
+    def set_scene(self, scene: Scene):
+        """Upload the scene and (re)build acceleration structures — the
+        analog of AssetLoad + BLAS + TLAS systems firing on the next frame."""
+        self.scene_dev = jax.device_put(scene)
+        mode = resolve_mode(self.traversal_mode, scene.tri_v0.shape[0])
+        if mode == "bvh":
+            from ..ops import lbvh
+
+            tris = np.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1)
+            self.bvh = lbvh.build_lbvh(jnp.asarray(tris))
+        else:
+            self.bvh = None
+        self._resolved_mode = mode
+        self._frame_fn = None
+        self.reset()
+
+    def set_camera(self, camera: Camera):
+        self.camera = camera
+
+    def reset(self):
+        """Reset temporal accumulation (history) — what the reference does
+        implicitly through frame_count==0 disocclusion."""
+        self.state = pipeline.init_state(self.width, self.height, self.camera, self.options)
+
+    def set_options(self, options: RenderOptions):
+        """Changing static options recompiles (like the reference rebuilding
+        PSOs with different #defines)."""
+        self.options = options
+        self._frame_fn = None
+        self.reset()
+
+    # -- frame ------------------------------------------------------------
+
+    def _build_frame_fn(self):
+        mode = self._resolved_mode
+        width, height, options = self.width, self.height, self.options
+
+        def step(scene, bvh, camera, state, settings, noise):
+            closest, any_hit = make_traversal(scene, mode, bvh)
+            return pipeline.render_frame(
+                scene, closest, any_hit, camera, state, settings, noise,
+                width, height, options,
+            )
+
+        return jax.jit(step, donate_argnums=(3,))
+
+    def render(self, camera: Optional[Camera] = None) -> np.ndarray:
+        """Render one frame, advance state, return display image [H,W,3]."""
+        if self.scene_dev is None:
+            raise RuntimeError("set_scene() first")
+        if camera is not None:
+            self.camera = camera
+        if self._frame_fn is None:
+            self._frame_fn = self._build_frame_fn()
+        t0 = time.perf_counter()
+        display, self.state = self._frame_fn(
+            self.scene_dev, self.bvh, self.camera, self.state, self.settings, self.noise
+        )
+        display.block_until_ready()
+        self._timings["frame"] = time.perf_counter() - t0
+        return np.asarray(display)
+
+    def render_async(self, camera: Optional[Camera] = None):
+        """Dispatch a frame without blocking (XLA async dispatch replaces the
+        reference's 2-frames-in-flight fencing). Returns the device array."""
+        if camera is not None:
+            self.camera = camera
+        if self._frame_fn is None:
+            self._frame_fn = self._build_frame_fn()
+        display, self.state = self._frame_fn(
+            self.scene_dev, self.bvh, self.camera, self.state, self.settings, self.noise
+        )
+        return display
+
+    # -- observability ----------------------------------------------------
+
+    @property
+    def timings(self) -> Dict[str, float]:
+        """Last frame wall-clock timings (seconds), like the reference's
+        named GPU timestamp table (render_system.cpp:271-281)."""
+        return dict(self._timings)
+
+    def measure_pass_timings(self, iters: int = 3) -> Dict[str, float]:
+        """Per-pass timings by running instrumented sub-frames; the analog of
+        the per-pass timestamp queries in the reference."""
+        from . import profiling
+
+        return profiling.measure_passes(self, iters=iters)
+
+    def save_png(self, path: str, image: Optional[np.ndarray] = None):
+        from PIL import Image
+
+        img = image if image is not None else self.render()
+        arr = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(path)

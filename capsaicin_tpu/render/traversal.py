@@ -1,0 +1,62 @@
+"""Traversal backends: the replacement for DXR's fixed-function TraceRay.
+
+A backend is a factory `(scene, accel) -> (closest_fn, any_fn)`:
+  closest_fn(origins [N,3], dirs [N,3], tmin, tmax) -> {"t","u","v","prim"}
+  any_fn(origins [N,3], dirs [N,3], tmin, tmax) -> bool [N]
+
+Backends:
+  "brute" — the exact O(N*T) oracle (ops.intersect); right choice for small
+            scenes (Cornell-class) where a BVH would add overhead
+  "bvh"   — LBVH + batched stackless traversal (ops.traverse); the DXR
+            BLAS/TLAS analog (blas_system.cpp / tlas_system.cpp)
+  "auto"  — brute below AUTO_BVH_THRESHOLD triangles, else bvh
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import intersect
+
+AUTO_BVH_THRESHOLD = 4096
+
+
+def make_brute_force(scene):
+    tris = jnp.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1)
+
+    def closest(origins, dirs, tmin, tmax):
+        return intersect.brute_force_closest(origins, dirs, tris, tmin, tmax)
+
+    def any_hit(origins, dirs, tmin, tmax):
+        return intersect.brute_force_any(origins, dirs, tris, tmin, tmax)
+
+    return closest, any_hit
+
+
+def make_bvh(scene, bvh):
+    from ..ops import traverse
+
+    def closest(origins, dirs, tmin, tmax):
+        return traverse.bvh_closest(bvh, origins, dirs, tmin, tmax)
+
+    def any_hit(origins, dirs, tmin, tmax):
+        return traverse.bvh_any(bvh, origins, dirs, tmin, tmax)
+
+    return closest, any_hit
+
+
+def resolve_mode(mode: str, num_triangles: int) -> str:
+    if mode == "auto":
+        return "brute" if num_triangles <= AUTO_BVH_THRESHOLD else "bvh"
+    return mode
+
+
+def make_traversal(scene, mode: str, bvh=None):
+    mode = resolve_mode(mode, scene.tri_v0.shape[0])
+    if mode == "brute":
+        return make_brute_force(scene)
+    if mode == "bvh":
+        if bvh is None:
+            raise ValueError("bvh traversal requested but no BVH was built")
+        return make_bvh(scene, bvh)
+    raise ValueError(f"unknown traversal mode {mode!r}")

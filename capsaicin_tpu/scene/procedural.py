@@ -80,11 +80,18 @@ GREEN = (0.156, 0.426, 0.107)
 
 
 def cornell_box(floor_texture: str = "") -> List[MeshData]:
-    """Classic 2-unit Cornell box; shape roster mirrors the reference asset."""
+    """Classic 2-unit Cornell box with a skylight opening.
+
+    Shape roster follows the reference asset (walls, floor, ceiling, short &
+    tall boxes) but the ceiling has a rectangular opening where the asset's
+    area-light patch sits: the engine's only light is the animated
+    *directional* light (lighting.h:20-33), which could never reach inside a
+    fully closed box. The skylight admits it, so direct lighting, shadows and
+    GI are all exercised.
+    """
     m_white = Material("white", kd=WHITE)
     m_red = Material("leftWall", kd=RED)
     m_green = Material("rightWall", kd=GREEN)
-    m_light = Material("light", kd=(0.624, 0.624, 0.624), ke=(36.0, 33.0, 24.0))
     m_floor = Material("floor", kd=WHITE, diffuse_texname=floor_texture)
 
     def wall(name, mat, v0, v1, v2, v3, n):
@@ -94,15 +101,26 @@ def cornell_box(floor_texture: str = "") -> List[MeshData]:
         _quad(mesh, v0, v1, v2, v3, normal=n)
         return mesh
 
+    # skylight hole footprint (the reference light patch's xz rectangle)
+    hx0, hx1 = -0.24, 0.23
+    hz0, hz1 = -0.22, 0.16
+    y = 2.0
+    ceiling = MeshData(name="ceiling")
+    ceiling.material = m_white
+    n_dn = (0, -1, 0)
+    # four quads ringing the hole (z-strips + x-strips)
+    _quad(ceiling, (-1, y, -1), (-1, y, hz0), (1, y, hz0), (1, y, -1), n_dn)
+    _quad(ceiling, (-1, y, hz1), (-1, y, 1), (1, y, 1), (1, y, hz1), n_dn)
+    _quad(ceiling, (-1, y, hz0), (-1, y, hz1), (hx0, y, hz1), (hx0, y, hz0), n_dn)
+    _quad(ceiling, (hx1, y, hz0), (hx1, y, hz1), (1, y, hz1), (1, y, hz0), n_dn)
+
     meshes = [
-        wall("light", m_light, (-0.24, 1.98, 0.16), (-0.24, 1.98, -0.22), (0.23, 1.98, -0.22),
-             (0.23, 1.98, 0.16), (0, -1, 0)),
         _box("shortBox", m_white, (0.33, 0.3, 0.37), (0.6, 0.6, 0.6), rot_deg=-17.0),
         _box("tallBox", m_white, (-0.34, 0.6, -0.29), (0.6, 1.2, 0.6), rot_deg=17.0),
         wall("leftWall", m_red, (-1, 0, 1), (-1, 2, 1), (-1, 2, -1), (-1, 0, -1), (1, 0, 0)),
         wall("backWall", m_white, (-1, 0, 1), (1, 0, 1), (1, 2, 1), (-1, 2, 1), (0, 0, -1)),
         wall("rightWall", m_green, (1, 0, -1), (1, 2, -1), (1, 2, 1), (1, 0, 1), (-1, 0, 0)),
-        wall("ceiling", m_white, (-1, 2, -1), (-1, 2, 1), (1, 2, 1), (1, 2, -1), (0, -1, 0)),
+        ceiling,
         wall("floor", m_floor, (-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1), (0, 1, 0)),
     ]
     return meshes
@@ -234,10 +252,11 @@ def camera_preset(name: str = "cornell"):
 
     if name == "cornell":
         return dict(
-            position=jnp.array([0.0, 1.0, -3.2], jnp.float32),
+            position=jnp.array([0.0, 1.0, -3.6], jnp.float32),
             right=jnp.array([1.0, 0.0, 0.0], jnp.float32),
             forward=jnp.array([0.0, 0.0, 1.0], jnp.float32),
             up=jnp.array([0.0, 1.0, 0.0], jnp.float32),
+            focal_length=0.040,
         )
     if name == "colonnade":
         f = np.array([0.9, -0.12, 0.42])
@@ -261,9 +280,10 @@ def make_camera(name: str, width: int, height: int):
     from ..ops.camera import Camera
 
     pose = camera_preset(name)
+    focal = pose.pop("focal_length", 0.016)
     aspect = height / width
     return Camera(
-        focal_length=jnp.float32(0.016),
+        focal_length=jnp.float32(focal),
         sensor_size=jnp.array([0.036, 0.036 * aspect], jnp.float32),
         **pose,
     )

@@ -19,9 +19,9 @@ def test_obj_roundtrip_cornell(tmp_path):
     path = os.path.join(tmp_path, "cornell_box.obj")
     write_obj(path, meshes)
     loaded, materials = load_obj(path)
-    assert len(loaded) == len(meshes) == 8
+    assert len(loaded) == len(meshes) == 7
     names = [m.name for m in loaded]
-    assert "light" in names and "floor" in names and "tallBox" in names
+    assert "floor" in names and "tallBox" in names and "ceiling" in names
     # triangle counts survive the round trip
     for a, b in zip(meshes, loaded):
         assert len(a.indices) == len(b.indices)
@@ -56,9 +56,9 @@ def test_negative_and_missing_indices(tmp_path):
 
 def test_build_scene_offsets():
     scene = build_scene(cornell_box())
-    assert scene.num_meshes == 8
-    # light(2) + 2 boxes(12 each) + 5 walls(2 each)
-    assert scene.num_triangles == 2 + 12 + 12 + 5 * 2
+    assert scene.num_meshes == 7
+    # 2 boxes(12 each) + 4 walls+floor(2 each) + ceiling ring(8)
+    assert scene.num_triangles == 12 + 12 + 4 * 2 + 8
     # mesh offset tables are consistent
     assert scene.mesh_first_vertex[0] == 0
     for i in range(1, scene.num_meshes):
@@ -108,4 +108,4 @@ def test_load_scene_obj_end_to_end(tmp_path):
     path = os.path.join(tmp_path, "cb.obj")
     write_obj(path, meshes)
     scene = load_scene_obj(path)
-    assert scene.num_triangles == 36
+    assert scene.num_triangles == 40
