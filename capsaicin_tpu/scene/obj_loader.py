@@ -103,9 +103,22 @@ class _ShapeBuilder:
         self.mesh.indices.append(idx)
 
 
-def load_obj(path: str, material_dir: Optional[str] = None) -> Tuple[List[MeshData], Dict[str, Material]]:
-    """Parse an OBJ file into per-shape MeshData + materials."""
+NATIVE_SIZE_THRESHOLD = 1 << 20  # use the C++ loader above 1 MiB
+
+
+def load_obj(
+    path: str, material_dir: Optional[str] = None, force_python: bool = False
+) -> Tuple[List[MeshData], Dict[str, Material]]:
+    """Parse an OBJ file into per-shape MeshData + materials.
+
+    Large files automatically route through the native C++ loader
+    (capsaicin_tpu.native) when it is available; semantics are identical."""
     material_dir = material_dir or os.path.dirname(os.path.abspath(path))
+
+    if not force_python and os.path.getsize(path) >= NATIVE_SIZE_THRESHOLD:
+        result = _try_native(path, material_dir)
+        if result is not None:
+            return result
     positions: List[Tuple[float, float, float]] = []
     normals: List[Tuple[float, float, float]] = []
     texcoords: List[Tuple[float, float]] = []
@@ -182,6 +195,25 @@ def load_obj(path: str, material_dir: Optional[str] = None) -> Tuple[List[MeshDa
         mesh.material = mat
         mesh.texture_name = mat.diffuse_texname if mat else ""
         meshes.append(mesh)
+    return meshes, materials
+
+
+def _try_native(path: str, material_dir: str):
+    try:
+        from .. import native
+    except ImportError:
+        return None
+    loaded = native.load_obj_native(path)
+    if loaded is None:
+        return None
+    meshes, mtllib = loaded
+    materials: Dict[str, Material] = {}
+    if mtllib:
+        materials = parse_mtl(os.path.join(material_dir, mtllib))
+    for mesh in meshes:
+        mat = materials.get(getattr(mesh, "_material_name", ""))
+        mesh.material = mat
+        mesh.texture_name = mat.diffuse_texname if mat else ""
     return meshes, materials
 
 

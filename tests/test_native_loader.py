@@ -1,0 +1,59 @@
+"""Native C++ OBJ loader: builds, matches the Python reference parser."""
+
+import os
+
+import numpy as np
+import pytest
+
+from capsaicin_tpu import native
+from capsaicin_tpu.scene.obj_loader import load_obj
+from capsaicin_tpu.scene.procedural import colonnade, cornell_box, write_obj
+
+
+@pytest.fixture(scope="module")
+def lib():
+    if not native.available():
+        pytest.skip("native library unavailable (no toolchain)")
+    return native.get_lib()
+
+
+def _compare(tmp_path, meshes, name):
+    path = os.path.join(tmp_path, name)
+    write_obj(path, meshes)
+    py_meshes, _ = load_obj(path, force_python=True)
+    nat = native.load_obj_native(path)
+    assert nat is not None
+    nat_meshes, mtllib = nat
+    assert mtllib.endswith(".mtl")
+    assert len(nat_meshes) == len(py_meshes)
+    for a, b in zip(py_meshes, nat_meshes):
+        assert a.name == b.name
+        np.testing.assert_allclose(a.positions, b.positions, atol=1e-6)
+        np.testing.assert_allclose(a.normals, b.normals, atol=1e-6)
+        np.testing.assert_allclose(a.texcoords, b.texcoords, atol=1e-6)
+        assert a.indices == b.indices
+        assert (a.material.name if a.material else "") == b._material_name
+
+
+def test_native_matches_python_cornell(lib, tmp_path):
+    _compare(tmp_path, cornell_box(), "cornell.obj")
+
+
+def test_native_matches_python_colonnade(lib, tmp_path):
+    _compare(tmp_path, colonnade(target_tris=20000), "col.obj")
+
+
+def test_native_fast_path_in_load_obj(lib, tmp_path):
+    """Above the size threshold load_obj must produce identical output via
+    the native path (exercised implicitly: results equal either way)."""
+    meshes = colonnade(target_tris=30000)
+    path = os.path.join(tmp_path, "big.obj")
+    write_obj(path, meshes)
+    assert os.path.getsize(path) > 1 << 20
+    auto_meshes, mats = load_obj(path)
+    py_meshes, _ = load_obj(path, force_python=True)
+    assert len(auto_meshes) == len(py_meshes)
+    total_auto = sum(len(m.indices) for m in auto_meshes)
+    total_py = sum(len(m.indices) for m in py_meshes)
+    assert total_auto == total_py
+    assert "stone" in mats
