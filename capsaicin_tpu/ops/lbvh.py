@@ -88,7 +88,9 @@ def build_lbvh(tris, leaf_size: int = 4) -> BVH:
     """tris: [T,3,3] float32 (v0,v1,v2). Pure XLA; jit-compatible for a
     fixed triangle count."""
     t = tris.shape[0]
-    n_leaves = _next_pow2(-(-t // leaf_size))
+    # minimum 2 leaves so traversal can start below the root (heap row 2/3
+    # always exist; packet kernel relies on this)
+    n_leaves = max(2, _next_pow2(-(-t // leaf_size)))
     padded = n_leaves * leaf_size
 
     v0 = tris[:, 0]

@@ -1,0 +1,324 @@
+"""Pallas TPU kernel: BVH packet traversal.
+
+The production replacement for DXR TraceRay on scenes large enough to need
+an acceleration structure. Design (TPU-first — this is where the framework
+diverges hardest from a GPU port):
+
+  * **Packet traversal with shared control flow.** A packet of 1024 rays
+    (one full 8x128 VPU tile per ray component) walks the implicit-heap BVH
+    (ops.lbvh) together: ONE scalar node pointer for the whole packet,
+    descending whenever ANY live ray hits the node box. Scalar control means
+    no per-lane gathers (which cost ~17ns/index on TPU and make
+    pointer-chasing traversal hopeless). Coherent packets (primary, shadow)
+    visit near-minimal node sets; incoherent bounce rays should be sorted
+    by direction/origin first (sort_rays_for_traversal).
+  * **Lane-packed VMEM-resident scene.** Mosaic only allows dynamic indexing
+    on sublane (row) dimensions, and pads VMEM lane dims to 128 — so both
+    tables are packed 128 floats per row with zero padding waste:
+      nodes: 16 nodes x 8 floats per row; the in-row slot is extracted with
+             a one-hot lane reduction (the slot is dynamic)
+      tris:  12 triangles x 10 floats per row == one BVH leaf; in-row lanes
+             are STATIC (the unrolled leaf loop), so extraction is free
+    Triangle ids ride along as floats (exact below 2^24).
+  * The DFS successor is the same trailing-ones arithmetic as
+    ops.traverse._dfs_next — no stack, no parent pointers.
+  * Any-hit packets retire lanes at first hit and exit when every lane is
+    done (RAY_FLAG_ACCEPT_FIRST_HIT analog, lighting.h:48-55).
+
+Capacity: ~300k triangles (tris ~43B each + nodes 32B/node) fits the ~16MB
+VMEM budget; larger scenes fall back to ops.traverse. Semantics match
+ops.intersect exactly (same epsilons, no backface culling); tests assert
+equality against the brute-force oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lbvh import BVH, build_lbvh
+
+INF = 1e30
+PACKET = 1024  # rays per packet: 8 sublanes x 128 lanes
+SUB = 8
+LANE = 128
+
+LEAF_SIZE = 12  # 12 tris x 10 floats = 120 lanes per leaf row
+NODES_PER_ROW = 16  # 16 nodes x 8 floats = 128 lanes
+
+
+def _use_interpret():
+    return jax.default_backend() != "tpu"
+
+
+class PackedBVH(NamedTuple):
+    """Traversal-ready lane-packed BVH.
+
+    nodes: [ceil(2L/16), 128] f32 — node k at row k//16, lanes (k%16)*8..+6
+           as (min xyz, max xyz); slots 6,7 unused
+    tris:  [ceil(P/12), 128] f32 — leaf row l holds its 12 triangles, tri j
+           at lanes j*10..+10 as (v0 xyz, e1 xyz, e2 xyz, tid+1)
+    """
+
+    nodes: jnp.ndarray
+    tris: jnp.ndarray
+    n_leaves: int
+
+
+def build_packed_bvh(tris) -> PackedBVH:
+    """tris [T,3,3] -> packed BVH (leaf size fixed at 12)."""
+    return pack_bvh(build_lbvh(tris, leaf_size=LEAF_SIZE))
+
+
+def pack_bvh(bvh: BVH) -> PackedBVH:
+    assert bvh.leaf_size == LEAF_SIZE, "packet traversal expects leaf_size=12"
+    n2 = bvh.nodes_min.shape[0]
+    rows_n = -(-n2 // NODES_PER_ROW)
+    node_rec = jnp.concatenate(
+        [bvh.nodes_min, bvh.nodes_max, jnp.zeros((n2, 2), jnp.float32)], axis=1
+    )  # [2L, 8]
+    pad = rows_n * NODES_PER_ROW - n2
+    if pad:
+        node_rec = jnp.concatenate([node_rec, jnp.zeros((pad, 8), jnp.float32)])
+    nodes = node_rec.reshape(rows_n, NODES_PER_ROW * 8)
+
+    p = bvh.tri_v0.shape[0]
+    tid_f = (bvh.tri_id + 1).astype(jnp.float32)  # 0 == padding
+    tri_rec = jnp.concatenate(
+        [bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, tid_f[:, None]], axis=1
+    )  # [P, 10]
+    rows_t = -(-p // LEAF_SIZE)
+    tri_rows = tri_rec.reshape(rows_t, LEAF_SIZE * 10)
+    tris = jnp.concatenate(
+        [tri_rows, jnp.zeros((rows_t, 128 - LEAF_SIZE * 10), jnp.float32)], axis=1
+    )
+    return PackedBVH(nodes=nodes, tris=tris, n_leaves=bvh.n_leaves)
+
+
+def pack_rays_tiled(origins, dirs, tmin, tmax):
+    """[N,3]x2 -> [Np, 8, SUB, LANE] packet-tiled rays (+ n)."""
+    n = origins.shape[0]
+    n_pad = -(-n // PACKET) * PACKET
+    tmin = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
+    tmax = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+    rays = jnp.concatenate(
+        [origins.T, dirs.T, tmin[None, :], tmax[None, :]], axis=0
+    ).astype(jnp.float32)
+    if n_pad != n:
+        pad = jnp.zeros((8, n_pad - n), jnp.float32)
+        pad = pad.at[7, :].set(-1.0)  # tmax < tmin: padding never accepts
+        rays = jnp.concatenate([rays, pad], axis=1)
+    tiled = rays.reshape(8, n_pad // PACKET, SUB, LANE).transpose(1, 0, 2, 3)
+    return tiled, n
+
+
+def _dfs_next_scalar(k):
+    """Scalar DFS successor: strip trailing ones, step right (1 = done)."""
+    x = (~k.astype(jnp.uint32)) & (k.astype(jnp.uint32) + 1)
+    x = x - 1
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    trailing = ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+    up = k >> trailing
+    return jnp.where(up <= 1, 1, up + 1)
+
+
+def _traverse_kernel(
+    n_leaves, tri_rows, any_hit,
+    rays_ref, nodes_ref, tris_ref,
+    t_out, u_out, v_out, p_out,
+):
+    ox = rays_ref[0, 0]
+    oy = rays_ref[0, 1]
+    oz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    tmin = rays_ref[0, 6]
+    tmax = rays_ref[0, 7]
+
+    def safe_inv(d):
+        tiny = jnp.abs(d) < 1e-12
+        return jnp.where(tiny, jnp.where(d < 0, -1e12, 1e12), 1.0 / jnp.where(tiny, 1.0, d))
+
+    ix = safe_inv(dx)
+    iy = safe_inv(dy)
+    iz = safe_inv(dz)
+
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def body(state):
+        k, t_best, u, v, prim, live = state
+
+        # node AABB: one-hot extract 6 scalars from the packed row
+        row = nodes_ref[k // NODES_PER_ROW, :].reshape(1, 128)
+        slot = (k % NODES_PER_ROW) * 8
+
+        def pick(c):
+            return jnp.sum(jnp.where(lane_ids == slot + c, row, 0.0))
+
+        lo_x, lo_y, lo_z = pick(0), pick(1), pick(2)
+        hi_x, hi_y, hi_z = pick(3), pick(4), pick(5)
+
+        tx0 = (lo_x - ox) * ix
+        tx1 = (hi_x - ox) * ix
+        ty0 = (lo_y - oy) * iy
+        ty1 = (hi_y - oy) * iy
+        tz0 = (lo_z - oz) * iz
+        tz1 = (hi_z - oz) * iz
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        hit_box = (t_near <= t_far) & (t_far >= tmin) & (t_near <= t_best) & live
+        any_box = jnp.any(hit_box)
+
+        is_leaf = k >= n_leaves
+
+        def leaf_tests(carry):
+            t_best, u, v, prim = carry
+            leaf = jnp.minimum(k - n_leaves, tri_rows - 1)
+            trow = tris_ref[leaf, :]  # [128]; in-row lanes are static below
+            for j in range(LEAF_SIZE):
+                b = j * 10
+                v0x, v0y, v0z = trow[b], trow[b + 1], trow[b + 2]
+                e1x, e1y, e1z = trow[b + 3], trow[b + 4], trow[b + 5]
+                e2x, e2y, e2z = trow[b + 6], trow[b + 7], trow[b + 8]
+                tid = trow[b + 9].astype(jnp.int32) - 1
+
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(
+                    jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+                )
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = (
+                    (jnp.abs(det) > 1e-12)
+                    & (uu >= 0.0)
+                    & (vv >= 0.0)
+                    & (uu + vv <= 1.0)
+                    & (tt > tmin)
+                    & (tt < jnp.minimum(tmax, t_best))
+                    & live
+                    & (tid >= 0)
+                )
+                t_best = jnp.where(ok, tt, t_best)
+                u = jnp.where(ok, uu, u)
+                v = jnp.where(ok, vv, v)
+                prim = jnp.where(ok, tid, prim)
+            return t_best, u, v, prim
+
+        t_best, u, v, prim = jax.lax.cond(
+            any_box & is_leaf, leaf_tests, lambda c: c, (t_best, u, v, prim)
+        )
+        if any_hit:
+            live = live & (prim < 0)
+
+        descend = any_box & (~is_leaf)
+        k = jnp.where(descend, 2 * k, _dfs_next_scalar(k))
+        return k, t_best, u, v, prim, live
+
+    def cond(state):
+        k = state[0]
+        live = state[5]
+        more = k > 1
+        if any_hit:
+            more = more & jnp.any(live)
+        return more
+
+    init = (
+        jnp.int32(2),  # the root box always contains the scene; start below
+        tmax,
+        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.zeros((SUB, LANE), jnp.float32),
+        jnp.full((SUB, LANE), -1, jnp.int32),
+        jnp.ones((SUB, LANE), bool),
+    )
+    k, t_best, u, v, prim, live = jax.lax.while_loop(cond, body, init)
+    t_out[0, 0] = t_best
+    u_out[0, 0] = u
+    v_out[0, 0] = v
+    p_out[0, 0] = prim
+
+
+def _run(packed: PackedBVH, rays_tiled, any_hit: bool):
+    np_ = rays_tiled.shape[0]
+    kernel = functools.partial(
+        _traverse_kernel, packed.n_leaves, packed.tris.shape[0], any_hit
+    )
+    f32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.int32)
+    out_spec = pl.BlockSpec((1, 1, SUB, LANE), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM)
+    t, u, v, prim = pl.pallas_call(
+        kernel,
+        grid=(np_,),
+        in_specs=[
+            pl.BlockSpec((1, 8, SUB, LANE), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed.nodes.shape, lambda p: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed.tris.shape, lambda p: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(f32, f32, f32, i32),
+        interpret=_use_interpret(),
+    )(rays_tiled, packed.nodes, packed.tris)
+    return t, u, v, prim
+
+
+def _untile(x, n):
+    return x.reshape(-1)[:n]
+
+
+def bvh_closest(packed: PackedBVH, origins, dirs, tmin=0.0, tmax=1e6):
+    rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
+    t, u, v, prim = _run(packed, rays, any_hit=False)
+    return {
+        "t": _untile(t, n),
+        "u": _untile(u, n),
+        "v": _untile(v, n),
+        "prim": _untile(prim, n),
+    }
+
+
+def bvh_any(packed: PackedBVH, origins, dirs, tmin=1e-4, tmax=1e6):
+    rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
+    t, u, v, prim = _run(packed, rays, any_hit=True)
+    return _untile(prim, n) >= 0
+
+
+def sort_rays_for_traversal(origins, dirs):
+    """Morton-ish coherence sort key for bounce rays: quantized direction
+    octant + origin morton. Returns (order, inverse_order)."""
+    from .lbvh import morton_codes
+
+    lo = jnp.min(origins, axis=0)
+    hi = jnp.max(origins, axis=0)
+    om = morton_codes(origins, lo, hi)
+    oct_key = (
+        (dirs[:, 0] > 0).astype(jnp.uint32) * 4
+        + (dirs[:, 1] > 0).astype(jnp.uint32) * 2
+        + (dirs[:, 2] > 0).astype(jnp.uint32)
+    )
+    key = (oct_key << 29) | (om >> 3)
+    order = jnp.argsort(key)
+    inverse = jnp.argsort(order)
+    return order, inverse

@@ -12,6 +12,7 @@ clamp, which is strictly better-behaved and irrelevant beyond the border).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .mathops import cubic, luminance
@@ -64,14 +65,35 @@ def sample_bilinear(img, uv, dims):
     return top * (1.0 - wy) + bot * wy
 
 
-def resample_bicubic(img, uv, dims):
-    """3x3 bicubic (Catmull-Rom b=0,c=0.5) with inverse-luma weighting;
-    temporal_accumulation.hlsl:38-66. img channels >= 3; weights use the
-    first three channels' luminance."""
+def bicubic_taps(img, uv, dims):
+    """Shared machinery for luma-weighted 3x3 bicubic resampling: returns
+    (taps, base_weights, offscreen) where taps is a list of 9 tap values
+    [..., C], base_weights the cubic-x*cubic-y weight per tap [...], and
+    offscreen the per-tap invalid mask. Callers apply their own luma
+    weighting per channel group — this lets several histories share ONE set
+    of 16 corner gathers by packing channels (the gathers are the dominant
+    cost of the temporal passes on TPU)."""
     w, h = dims
     center_xy = uv_to_xy(uv, dims)
-    filtered = None
-    tw = None
+    xy0 = center_xy - 0.5
+    base_x = jnp.floor(xy0[..., 0]).astype(jnp.int32)
+    base_y = jnp.floor(xy0[..., 1]).astype(jnp.int32)
+    fx = (xy0[..., 0] - jnp.floor(xy0[..., 0]))[..., None]
+    fy = (xy0[..., 1] - jnp.floor(xy0[..., 1]))[..., None]
+    # Materialize the shared coordinate math once: without this barrier XLA
+    # fuses (duplicates) the producer chain — typically a full camera
+    # reprojection — into all 16 gather index computations and every tap
+    # weight, exploding both compile time and runtime ~50x.
+    center_xy, base_x, base_y, fx, fy = jax.lax.optimization_barrier(
+        (center_xy, base_x, base_y, fx, fy)
+    )
+
+    corners = {}
+    for cj in (-1, 0, 1, 2):
+        for ci in (-1, 0, 1, 2):
+            corners[(ci, cj)] = _gather_pixels(img, base_x + ci, base_y + cj)
+
+    taps, weights, offs = [], [], []
     for j in (-1, 0, 1):
         for i in (-1, 0, 1):
             cur = center_xy + jnp.asarray([i, j], jnp.float32)
@@ -81,16 +103,45 @@ def resample_bicubic(img, uv, dims):
                 | (cur[..., 0] >= w)
                 | (cur[..., 1] >= h)
             )
-            val = sample_bilinear(img, xy_to_uv(cur, dims), dims)
+            v00 = corners[(i, j)]
+            v10 = corners[(i + 1, j)]
+            v01 = corners[(i, j + 1)]
+            v11 = corners[(i + 1, j + 1)]
+            top = v00 * (1.0 - fx) + v10 * fx
+            bot = v01 * (1.0 - fx) + v11 * fx
+            val = top * (1.0 - fy) + bot * fy
             d = jnp.abs(cur - center_xy)
-            wt = (
-                cubic(d[..., 0], 0.0, 0.5)
-                * cubic(d[..., 1], 0.0, 0.5)
-                / (1.0 + luminance(val[..., :3]))
-            )
-            wt = jnp.where(offscreen, 0.0, wt)
-            contrib = wt[..., None] * val
-            filtered = contrib if filtered is None else filtered + contrib
-            tw = wt if tw is None else tw + wt
-    out = jnp.where((tw > 1e-5)[..., None], filtered / jnp.maximum(tw, 1e-20)[..., None], 0.0)
-    return out
+            wt = cubic(d[..., 0], 0.0, 0.5) * cubic(d[..., 1], 0.0, 0.5)
+            taps.append(val)
+            weights.append(wt)
+            offs.append(offscreen)
+    return taps, weights, offs
+
+
+def bicubic_combine(taps, weights, offs, sl=slice(None)):
+    """Weighted sum of taps[:, sl] with 1/(1+luma) weighting on the first
+    three channels of the slice; matches ResampleBicubic accumulation."""
+    filtered = None
+    tw = None
+    for val, wt, offscreen in zip(taps, weights, offs):
+        group = val[..., sl]
+        w_full = jnp.where(offscreen, 0.0, wt / (1.0 + luminance(group[..., :3])))
+        contrib = w_full[..., None] * group
+        filtered = contrib if filtered is None else filtered + contrib
+        tw = w_full if tw is None else tw + w_full
+    return jnp.where(
+        (tw > 1e-5)[..., None], filtered / jnp.maximum(tw, 1e-20)[..., None], 0.0
+    )
+
+
+def resample_bicubic(img, uv, dims):
+    """3x3 bicubic (Catmull-Rom b=0,c=0.5) with inverse-luma weighting;
+    temporal_accumulation.hlsl:38-66. img channels >= 3; weights use the
+    first three channels' luminance.
+
+    Restructured for TPU: all 9 bilinear taps share one 4x4 texel footprint,
+    so we issue 16 point gathers once and synthesize every tap from them
+    (instead of 36 dependent gathers). Identical math to the per-tap form.
+    """
+    taps, weights, offs = bicubic_taps(img, uv, dims)
+    return bicubic_combine(taps, weights, offs)

@@ -68,7 +68,11 @@ def shard_scene(mesh: Mesh, scene):
 
 def build_sharded_step(mesh: Mesh, step_fn, height: int, example_state, example_args):
     """jit `step_fn(scene, bvh, camera, state, settings, noise)` with row
-    sharding on the per-pixel state/outputs and replication elsewhere."""
+    sharding on the per-pixel state/outputs and replication elsewhere.
+
+    out_shardings pins the returned (display, state) to row sharding too —
+    otherwise XLA may leave gather-fed outputs replicated and the state could
+    not be fed back into the next frame."""
     scene, bvh, camera, _, settings, noise = example_args
     in_shardings = (
         jax.tree.map(lambda _: replicated(mesh), scene),
@@ -78,4 +82,13 @@ def build_sharded_step(mesh: Mesh, step_fn, height: int, example_state, example_
         jax.tree.map(lambda _: replicated(mesh), settings),
         replicated(mesh),
     )
-    return jax.jit(step_fn, in_shardings=in_shardings, donate_argnums=(3,))
+    out_shardings = (
+        row_sharding(mesh),  # display image [H,W,3]
+        _shard_like(mesh, example_state, height),
+    )
+    return jax.jit(
+        step_fn,
+        in_shardings=in_shardings,
+        out_shardings=out_shardings,
+        donate_argnums=(3,),
+    )

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..ops import camera as cam
@@ -72,6 +73,16 @@ def shift2d(img, dx: int, dy: int):
     return rolled, valid
 
 
+def shift2d_clamped(img, dx: int, dy: int):
+    """out[y, x] = img[clamp(y+dy), clamp(x+dx)] — edge-replicated tap."""
+    if dx == 0 and dy == 0:
+        return img
+    h, w = img.shape[:2]
+    pw = [(max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0))] + [(0, 0)] * (img.ndim - 2)
+    padded = jnp.pad(img, pw, mode="edge")
+    return padded[max(dy, 0) : max(dy, 0) + h, max(dx, 0) : max(dx, 0) + w]
+
+
 def _flat(img):
     return img.reshape((-1,) + img.shape[2:])
 
@@ -107,10 +118,11 @@ def trace_primary(closest_fn, camera, width, height, frame_count):
 def direct_lighting(scene, any_fn, camera, gb, width, height, frame_count, options: RenderOptions):
     prim = gb["prim"]
     miss = prim < 0
-    p, n, tx = shading.interpolate_attributes(
+    hit = shading.fetch_hit_attributes(
         scene, _flat(prim), _flat(gb["bary"])[..., 0], _flat(gb["bary"])[..., 1]
     )
-    kd = shading.get_material(scene, _flat(prim), tx, options.use_material_kd)
+    p, n = hit["p"], hit["n"]
+    kd = shading.material_from_hit(scene, hit, options.use_material_kd)
     black = jnp.all(kd < 1e-5, axis=-1)
 
     ldir, unshadowed = shading.direct_illumination_terms(p, n, kd, frame_count)
@@ -199,8 +211,9 @@ def indirect_gi(
             color = jnp.where(miss_now[..., None], color + throughput * shading.SKY_COLOR, color)
             active = active & (prim >= 0)
 
-        p, n, tx = shading.interpolate_attributes(scene, prim, u, v)
-        kd = shading.get_material(scene, prim, tx, options.use_material_kd)
+        hit = shading.fetch_hit_attributes(scene, prim, u, v)
+        p, n = hit["p"], hit["n"]
+        kd = shading.material_from_hit(scene, hit, options.use_material_kd)
         active = active & ~jnp.all(kd < 1e-5, axis=-1)
 
         if bounce != 0:
@@ -209,18 +222,39 @@ def indirect_gi(
                 prev_uv = cam.calculate_image_plane_uv(prev_camera, p)
                 offscreen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
                 prev_xy = resample.uv_to_xy(prev_uv, (width, height))
+                # pack prev-depth with the history so the bilinear's four
+                # corner gathers serve both fetches (gathers cost ~17ns/idx)
+                fb_pack = jnp.concatenate(
+                    [combined_history[..., :3], prev_nd["depth"][..., None]], axis=-1
+                )
+                xy0 = prev_xy - 0.5
+                bx = jnp.floor(xy0[..., 0]).astype(jnp.int32)
+                by = jnp.floor(xy0[..., 1]).astype(jnp.int32)
+                fx = (xy0[..., 0] - jnp.floor(xy0[..., 0]))[..., None]
+                fy = (xy0[..., 1] - jnp.floor(xy0[..., 1]))[..., None]
+                c00 = resample._gather_pixels(fb_pack, bx, by)
+                c10 = resample._gather_pixels(fb_pack, bx + 1, by)
+                c01 = resample._gather_pixels(fb_pack, bx, by + 1)
+                c11 = resample._gather_pixels(fb_pack, bx + 1, by + 1)
+                top = c00 * (1.0 - fx) + c10 * fx
+                bot = c01 * (1.0 - fx) + c11 * fx
+                bil = top * (1.0 - fy) + bot * fy
+                hist = bil[..., :3]
+                # point fetch (Load at int coords, rt_indirect.hlsl:125):
+                # select the matching bilinear corner
                 pix = jnp.floor(prev_xy).astype(jnp.int32)
                 pix_x = jnp.clip(pix[..., 0], 0, width - 1)
                 pix_y = jnp.clip(pix[..., 1], 0, height - 1)
-                prev_depth = prev_nd["depth"][pix_y, pix_x]
+                di = pix_x - bx
+                dj = pix_y - by
+                prev_depth = jnp.where(
+                    dj == 0,
+                    jnp.where(di == 0, c00[..., 3], c10[..., 3]),
+                    jnp.where(di == 0, c01[..., 3], c11[..., 3]),
+                )
                 cur_depth = jnp.sqrt(jnp.sum((p - prev_camera.position) ** 2, axis=-1))
                 disocc = offscreen | (
                     jnp.abs(prev_depth - cur_depth) / jnp.maximum(cur_depth, 1e-20) > 0.05
-                )
-                # history reuse: fetch shaded result from last frame's combined
-                # history (multi-bounce for the cost of one, rt_indirect.hlsl:118-145)
-                hist = resample.sample_bilinear(
-                    combined_history[..., :3], prev_uv, (width, height)
                 )
                 reuse = active & ~disocc
                 color = jnp.where(reuse[..., None], color + throughput * hist, color)
@@ -270,7 +304,7 @@ def _subsampled_nd(nd, frame_count, width, height, options: RenderOptions):
 def spatial_gather(indirect, nd, width, height, frame_count, settings: Settings, options: RenderOptions):
     """7x7 edge-aware cross-bilateral filter of the raw indirect."""
     oct, depth = _subsampled_nd(nd, frame_count, width, height, options)
-    center_n = m.oct_decode(oct)
+    center_n = m.oct_decode(oct)  # decode once, shift the decoded field
     center_d = depth
     center_c = indirect
     center_l = m.luminance(center_c)
@@ -286,15 +320,15 @@ def spatial_gather(indirect, nd, width, height, frame_count, settings: Settings,
     for dy in range(-3, 4):
         for dx in range(-3, 4):
             c, valid = shift2d(center_c, dx, dy)
-            g_oct, _ = shift2d(oct, dx, dy)
+            n_tap, _ = shift2d(center_n, dx, dy)
             d_tap, _ = shift2d(center_d, dx, dy)
-            n_tap = m.oct_decode(g_oct)
+            l_tap, _ = shift2d(center_l, dx, dy)
             valid = valid & (d_tap >= 1e-5)
             r = float((dx * dx + dy * dy) ** 0.5)
             w = (
                 m.normal_weight(center_n, n_tap, s_normal)
                 * m.depth_weight(center_d, d_tap, s_depth * r)
-                * m.luma_weight(center_l, m.luminance(c), s_luma)
+                * m.luma_weight(center_l, l_tap, s_luma)
             )
             w = jnp.where(valid, w, 0.0)
             acc = acc + w[..., None] * c
@@ -302,6 +336,187 @@ def spatial_gather(indirect, nd, width, height, frame_count, settings: Settings,
 
     filtered = jnp.where((tw < EPS)[..., None], center_c, acc / jnp.maximum(tw, EPS)[..., None])
     return jnp.where(background[..., None], center_c, filtered)
+
+
+# --------------------------------------------------------------------------
+# Shared temporal reprojection + history fetch (feeds SVGF accumulate and TAA)
+
+
+def _cubic01(x):
+    """Catmull-Rom weight at |offset| x for integer taps."""
+    from ..ops.mathops import cubic
+
+    return cubic(x, 0.0, 0.5)
+
+
+def reproject_and_fetch_history(
+    camera,
+    prev_camera,
+    nd,
+    prev_nd,
+    color_history,
+    moments_history,
+    combined_history,
+    width,
+    height,
+):
+    """Computes the per-frame reprojection (shared verbatim by the Accumulate
+    and TAA kernels, temporal_accumulation.hlsl:243-258 and :388-400) and
+    resamples ALL previous-frame quantities through ONE 16-corner gather of a
+    packed history array:
+
+      channels: color_history rgb (3) | moments m1 m2 (2) | history_len (1)
+                | prev closest depth (1) | combined_history rgb (3)
+
+    Dynamic gathers cost ~17ns/index on TPU regardless of width, so sharing
+    one footprint across both temporal passes (instead of 34 separate
+    gathers) is the dominant optimization of the frame. When the camera did
+    not move, reprojection is the identity map and a `lax.cond` fast path
+    reads the histories directly with ZERO gathers — bicubic weights collapse
+    to the center tap (cubic(0)=1, cubic(1)=cubic(2)=0) so this is exact, not
+    an approximation.
+
+    Returns a dict:
+      this_uv, hit_pos, prev_uv, prev_xy, velocity, offscreen [H,W...]
+      history [H,W,3], moments [H,W,2], hist_len [H,W], prev_closest [H,W],
+      taa_history [H,W,3]
+    """
+    xy = cam.pixel_grid(width, height).astype(jnp.float32)
+    this_uv = (xy + 0.5) / jnp.asarray([width, height], jnp.float32)
+    depth = nd["depth"]
+
+    hit_pos = cam.reconstruct_world_position(camera, this_uv, depth)
+    prev_uv = cam.calculate_image_plane_uv(prev_camera, hit_pos)
+    prev_xy = resample.uv_to_xy(prev_uv, (width, height))
+    velocity = jnp.sqrt(
+        jnp.sum(((prev_uv - this_uv) * jnp.asarray([width, height], jnp.float32)) ** 2, -1)
+    )
+    offscreen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
+
+    prev_closest_img = _closest_depth_3x3(prev_nd["depth"])
+    packed = jnp.concatenate(
+        [
+            color_history[..., :3],
+            moments_history[..., :2],
+            moments_history[..., 3:4],
+            prev_closest_img[..., None],
+            combined_history[..., :3],
+        ],
+        axis=-1,
+    )
+
+    # static-camera test: ignore background pixels (their reprojection is
+    # garbage but they reset their history anyway). Compare against the
+    # identically-clamped identity mapping (uv_to_xy clamps at the border).
+    valid = depth > 1e-5
+    ident_xy = resample.uv_to_xy(this_uv, (width, height))
+    drift = jnp.where(valid, jnp.abs(prev_xy - ident_xy).max(axis=-1), 0.0)
+    # fp noise through the reconstruct->reproject roundtrip is ~1e-3 px; a
+    # 0.01 px snap changes bilinear weights by <1%, far below the 1e-3 RMSE
+    # target, while unlocking the zero-gather static path.
+    is_static = jnp.max(drift) < 1e-2
+
+    def _luma_combine(taps, base_w, offs, sl, luma_fn):
+        filtered = None
+        tw = None
+        for val, wt, off in zip(taps, base_w, offs):
+            group = val[..., sl]
+            lw = 1.0 / (1.0 + luma_fn(val))
+            w_full = jnp.where(off, 0.0, wt * lw)
+            contrib = w_full[..., None] * group
+            filtered = contrib if filtered is None else filtered + contrib
+            tw = w_full if tw is None else tw + w_full
+        return jnp.where(
+            (tw > 1e-5)[..., None], filtered / jnp.maximum(tw, 1e-20)[..., None], 0.0
+        )
+
+    def moving_path(packed):
+        center_xy = resample.uv_to_xy(prev_uv, (width, height))
+        xy0 = center_xy - 0.5
+        base_x = jnp.floor(xy0[..., 0]).astype(jnp.int32)
+        base_y = jnp.floor(xy0[..., 1]).astype(jnp.int32)
+        fx = (xy0[..., 0] - jnp.floor(xy0[..., 0]))[..., None]
+        fy = (xy0[..., 1] - jnp.floor(xy0[..., 1]))[..., None]
+        corners = {}
+        for cj in (-1, 0, 1, 2):
+            for ci in (-1, 0, 1, 2):
+                corners[(ci, cj)] = resample._gather_pixels(
+                    packed, base_x + ci, base_y + cj
+                )
+        taps, base_w, offs = [], [], []
+        for j in (-1, 0, 1):
+            for i in (-1, 0, 1):
+                cur = center_xy + jnp.asarray([i, j], jnp.float32)
+                off = (
+                    (cur[..., 0] < 0.0)
+                    | (cur[..., 1] < 0.0)
+                    | (cur[..., 0] >= width)
+                    | (cur[..., 1] >= height)
+                )
+                v00 = corners[(i, j)]
+                v10 = corners[(i + 1, j)]
+                v01 = corners[(i, j + 1)]
+                v11 = corners[(i + 1, j + 1)]
+                top = v00 * (1.0 - fx) + v10 * fx
+                bot = v01 * (1.0 - fx) + v11 * fx
+                val = top * (1.0 - fy) + bot * fy
+                d = jnp.abs(cur - center_xy)
+                taps.append(val)
+                base_w.append(_cubic01(d[..., 0]) * _cubic01(d[..., 1]))
+                offs.append(off)
+
+        history = _luma_combine(
+            taps, base_w, offs, slice(0, 3), lambda v: m.luminance(v[..., 0:3])
+        )
+        # moments resampled like the reference's .xyz bicubic: luma weight on
+        # (m1, m2, 0) (temporal_accumulation.hlsl:92-95, SampleMomentsHistory)
+        moments = _luma_combine(
+            taps, base_w, offs, slice(3, 5),
+            lambda v: v[..., 3] * 0.299 + v[..., 4] * 0.587,
+        )
+        taa_hist = _luma_combine(
+            taps, base_w, offs, slice(7, 10), lambda v: m.luminance(v[..., 7:10])
+        )
+
+        # point fetches at floor(prev_xy): select among the 2x2 corner set
+        pix_x = jnp.clip(jnp.floor(prev_xy[..., 0]).astype(jnp.int32), 0, width - 1)
+        pix_y = jnp.clip(jnp.floor(prev_xy[..., 1]).astype(jnp.int32), 0, height - 1)
+        di = pix_x - base_x  # in {0, 1}
+        dj = pix_y - base_y
+        point = jnp.zeros_like(corners[(0, 0)][..., 5:7])
+        for cj in (0, 1):
+            for ci in (0, 1):
+                sel = ((di == ci) & (dj == cj))[..., None]
+                point = jnp.where(sel, corners[(ci, cj)][..., 5:7], point)
+        hist_len = point[..., 0]
+        prev_closest = point[..., 1]
+        return history, moments, hist_len, prev_closest, taa_hist
+
+    def static_path(packed):
+        return (
+            packed[..., 0:3],
+            packed[..., 3:5],
+            packed[..., 5],
+            packed[..., 6],
+            packed[..., 7:10],
+        )
+
+    history, moments, hist_len, prev_closest, taa_hist = jax.lax.cond(
+        is_static, static_path, moving_path, packed
+    )
+    return {
+        "this_uv": this_uv,
+        "hit_pos": hit_pos,
+        "prev_uv": prev_uv,
+        "prev_xy": prev_xy,
+        "velocity": velocity,
+        "offscreen": offscreen,
+        "history": history,
+        "moments": moments,
+        "hist_len": hist_len,
+        "prev_closest": prev_closest,
+        "taa_history": taa_hist,
+    }
 
 
 # --------------------------------------------------------------------------
@@ -324,55 +539,48 @@ def _closest_depth_3x3(depth):
 def svgf_accumulate(
     color_in,
     nd,
-    prev_nd,
-    camera,
+    rep,
     prev_camera,
-    color_history,
-    moments_history,
     width,
     height,
     frame_count,
     alpha_setting,
     options: RenderOptions,
 ):
-    """Reprojection + history/moments blend. color_in is the gathered indirect
-    at input resolution (half under UPSCALE2X); histories are fullres [H,W,4].
+    """History/moments blend using the shared reprojection `rep`
+    (reproject_and_fetch_history). color_in is the gathered indirect at input
+    resolution (half under UPSCALE2X).
 
     Returns (new color_history [H,W,4] rgb+variance,
              new moments_history [H,W,4] m1,m2,0,len)."""
     in_h, in_w = color_in.shape[:2]
-    xy = cam.pixel_grid(width, height).astype(jnp.float32)
-    this_uv = (xy + 0.5) / jnp.asarray([width, height], jnp.float32)
+    this_uv = rep["this_uv"]
 
-    # current color resampled at this pixel (bilinear vs the input buffer size)
-    color = resample.sample_bilinear(color_in, this_uv, (in_w, in_h))
+    # current color resampled at this pixel (bilinear vs the input buffer
+    # size). At full resolution the bilinear fetch at a pixel's own center is
+    # the identity — skip the gather entirely (TPU gathers are expensive).
+    if (in_h, in_w) == (height, width):
+        color = color_in
+    else:
+        color = resample.sample_bilinear(color_in, this_uv, (in_w, in_h))
     lum = m.luminance(color)
     fresh_moments = jnp.stack([lum, lum * lum], axis=-1)
 
     depth = nd["depth"]
     background = depth < 1e-5
 
-    hit_pos = cam.reconstruct_world_position(camera, this_uv, depth)
-    prev_uv = cam.calculate_image_plane_uv(prev_camera, hit_pos)
-    offscreen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
-    disocclusion = offscreen | (frame_count == 0)
+    hit_pos = rep["hit_pos"]
+    disocclusion = rep["offscreen"] | (frame_count == 0)
 
-    prev_xy = resample.uv_to_xy(prev_uv, (width, height))
-    pix_x = jnp.clip(jnp.floor(prev_xy[..., 0]).astype(jnp.int32), 0, width - 1)
-    pix_y = jnp.clip(jnp.floor(prev_xy[..., 1]).astype(jnp.int32), 0, height - 1)
-
-    prev_closest_img = _closest_depth_3x3(prev_nd["depth"])
-    prev_closest = prev_closest_img[pix_y, pix_x]
+    prev_closest = rep["prev_closest"]
+    history_length = rep["hist_len"]
     cur_closest = jnp.sqrt(jnp.sum((hit_pos - prev_camera.position) ** 2, axis=-1))
     disocclusion = disocclusion | (
         jnp.abs(prev_closest - cur_closest) / jnp.maximum(cur_closest, 1e-20) > 0.05
     )
 
-    history = resample.resample_bicubic(color_history[..., :3].astype(jnp.float32), prev_uv, (width, height))
-    moments_hist = resample.resample_bicubic(
-        moments_history[..., :3].astype(jnp.float32), prev_uv, (width, height)
-    )[..., :2]
-    history_length = moments_history[..., 3][pix_y, pix_x].astype(jnp.float32)
+    history = rep["history"]
+    moments_hist = rep["moments"]
 
     alpha = jnp.minimum(
         alpha_setting, 1.0 - 1.0 / (history_length + 1.0)
@@ -420,10 +628,10 @@ def eaw_blur(color4, nd, stride: int, settings: Settings, options: RenderOptions
     """One Blur dispatch: 5x5 a-trous with variance-guided luma sigma."""
     rgb = jnp.minimum(color4[..., :3], FIREFLY_CLAMP)
     var = color4[..., 3]
-    oct = nd["oct"]
-    center_n = m.oct_decode(oct)
+    center_n = m.oct_decode(nd["oct"])  # decode once, shift the decoded field
     center_d = nd["depth"]
     center_l = m.luminance(rgb)
+    clamped4 = jnp.concatenate([rgb, var[..., None]], -1)
 
     s_depth = center_d * float(stride) * settings.eaw_depth_sigma
     s_normal = settings.eaw_normal_sigma
@@ -435,19 +643,19 @@ def eaw_blur(color4, nd, stride: int, settings: Settings, options: RenderOptions
     for dy in range(-2, 3):
         for dx in range(-2, 3):
             sx, sy = dx * stride, dy * stride
-            c4, valid = shift2d(color4, sx, sy)
-            c = jnp.minimum(c4[..., :3], FIREFLY_CLAMP)
+            c4, valid = shift2d(clamped4, sx, sy)
+            c = c4[..., :3]
             v_tap = c4[..., 3]
-            g_oct, _ = shift2d(oct, sx, sy)
+            n_tap, _ = shift2d(center_n, sx, sy)
             d_tap, _ = shift2d(center_d, sx, sy)
             valid = valid & (d_tap >= 1e-5)
-            n_tap = m.oct_decode(g_oct)
             r = float((dx * dx + dy * dy) ** 0.5)
             w = m.normal_weight(center_n, n_tap, s_normal) * m.depth_weight(
                 center_d, d_tap, s_depth * r
             )
             if options.use_variance:
-                lw = m.luma_weight(center_l, m.luminance(c), s_luma)
+                l_tap, _ = shift2d(center_l, sx, sy)
+                lw = m.luma_weight(center_l, l_tap, s_luma)
                 hw = _EAW_KW[abs(dx)] * _EAW_KW[abs(dy)]
             else:
                 lw = 1.0
@@ -473,10 +681,11 @@ def eaw_blur_disocclusion(color4, nd, moments4, settings: Settings, options: Ren
     rgb = jnp.minimum(color4[..., :3], FIREFLY_CLAMP)
     var = color4[..., 3]
     hist_len = moments4[..., 3]
-    oct = nd["oct"]
-    center_n = m.oct_decode(oct)
+    center_n = m.oct_decode(nd["oct"])
     center_d = nd["depth"]
     center_l = m.luminance(rgb)
+    # pack taps: rgb(3) + luma(1) + moments(2)
+    packed = jnp.concatenate([rgb, center_l[..., None], moments4[..., :2]], -1)
 
     s_depth = center_d * settings.eaw_depth_sigma
     s_normal = settings.eaw_normal_sigma
@@ -487,18 +696,18 @@ def eaw_blur_disocclusion(color4, nd, moments4, settings: Settings, options: Ren
     tw = jnp.zeros_like(var)
     for dy in range(-3, 4):
         for dx in range(-3, 4):
-            c4, valid = shift2d(color4, dx, dy)
-            c = jnp.minimum(c4[..., :3], FIREFLY_CLAMP)
-            g_oct, _ = shift2d(oct, dx, dy)
+            p_tap, valid = shift2d(packed, dx, dy)
+            c = p_tap[..., :3]
+            l_tap = p_tap[..., 3]
+            m_tap = p_tap[..., 4:6]
+            n_tap, _ = shift2d(center_n, dx, dy)
             d_tap, _ = shift2d(center_d, dx, dy)
-            m_tap, _ = shift2d(moments4[..., :2], dx, dy)
             valid = valid & (d_tap >= 1e-5)
-            n_tap = m.oct_decode(g_oct)
             r = float((dx * dx + dy * dy) ** 0.5)
             w = (
                 m.normal_weight(center_n, n_tap, s_normal)
                 * m.depth_weight(center_d, d_tap, s_depth * r)
-                * m.luma_weight(center_l, m.luminance(c), s_luma)
+                * m.luma_weight(center_l, l_tap, s_luma)
             )
             w = jnp.where(valid, w, 0.0)
             acc_c = acc_c + w[..., None] * c
@@ -551,16 +760,13 @@ def combine(direct, indirect4, albedo, output: int):
 
 def _neighbourhood_aabb(color, scale):
     """5x5 YCoCg mean +- scale*sigma AABB; temporal_accumulation.hlsl:97-137."""
-    tc = col.rgb_to_ycocg(col.simple_tonemap(color))
+    tc = col.rgb_to_ycocg(col.simple_tonemap(color))  # transform once
     m1 = jnp.zeros_like(tc)
     m2 = jnp.zeros_like(tc)
-    h, w = color.shape[:2]
     for dy in range(-2, 3):
         for dx in range(-2, 3):
             # clamped (not skipped) taps, matching the hlsl clamp
-            ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-            xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-            v = col.rgb_to_ycocg(col.simple_tonemap(color[ys][:, xs]))
+            v = shift2d_clamped(tc, dx, dy)
             m1 = m1 + v
             m2 = m2 + v * v
     m1 = m1 / 25.0
@@ -571,31 +777,20 @@ def _neighbourhood_aabb(color, scale):
     return pmin, pmax
 
 
-def taa(combined, combined_history, nd, camera, prev_camera, width, height, taa_feedback):
-    xy = cam.pixel_grid(width, height).astype(jnp.float32)
-    this_uv = (xy + 0.5) / jnp.asarray([width, height], jnp.float32)
+def taa(combined, rep, nd, width, height, taa_feedback):
     depth = nd["depth"]
     background = depth < 1e-5
+    velocity = rep["velocity"]
+    offscreen = rep["offscreen"]
 
-    hit_pos = cam.reconstruct_world_position(camera, this_uv, depth)
-    prev_uv = cam.calculate_image_plane_uv(prev_camera, hit_pos)
-    velocity = jnp.sqrt(
-        jnp.sum(((prev_uv - this_uv) * jnp.asarray([width, height], jnp.float32)) ** 2, -1)
-    )
-    offscreen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
-
-    cur_sample = resample.sample_bilinear(combined, this_uv, (width, height))
+    cur_sample = combined  # bilinear at own texel center == identity
 
     is_static = velocity < 1e-3
     alpha = jnp.where(is_static, 0.98, 0.6)
     aabb_scale = jnp.where(is_static, 5.0, 0.75)
     alpha = jnp.minimum(taa_feedback, alpha)
 
-    history = col.rgb_to_ycocg(
-        col.simple_tonemap(
-            resample.resample_bicubic(combined_history[..., :3].astype(jnp.float32), prev_uv, (width, height))
-        )
-    )
+    history = col.rgb_to_ycocg(col.simple_tonemap(rep["taa_history"]))
     color_tc = col.rgb_to_ycocg(col.simple_tonemap(cur_sample))
     pmin, pmax = _neighbourhood_aabb(combined, aabb_scale)
     history = col.clip_to_aabb(pmin, pmax, history)

@@ -127,15 +127,25 @@ def render_frame(
     else:
         gathered = indirect
 
+    # shared temporal reprojection + one packed history gather (SVGF + TAA)
+    rep = passes.reproject_and_fetch_history(
+        camera,
+        prev_camera,
+        nd,
+        prev_nd,
+        state.color_history.astype(jnp.float32),
+        state.moments_history.astype(jnp.float32),
+        state.combined_history.astype(jnp.float32),
+        width,
+        height,
+    )
+
     # 5. SVGF temporal accumulation
     color_hist, moments_hist = passes.svgf_accumulate(
         gathered,
         nd,
-        prev_nd,
-        camera,
+        rep,
         prev_camera,
-        state.color_history.astype(jnp.float32),
-        state.moments_history.astype(jnp.float32),
         width,
         height,
         frame_count,
@@ -152,14 +162,7 @@ def render_frame(
     # 8. TAA -> new combined history
     if options.taa:
         combined_out = passes.taa(
-            combined,
-            state.combined_history.astype(jnp.float32),
-            nd,
-            camera,
-            prev_camera,
-            width,
-            height,
-            settings.taa_feedback,
+            combined, rep, nd, width, height, settings.taa_feedback
         )
     else:
         combined_out = combined

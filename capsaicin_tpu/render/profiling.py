@@ -75,12 +75,23 @@ def measure_passes(session, iters: int = 3) -> Dict[str, float]:
     )
     timings["Spatial gather"], gathered = _time(f_gather, indirect, iters=iters)
 
+    f_rep = jax.jit(
+        lambda ch, mh, cb: passes.reproject_and_fetch_history(
+            camera, prev_camera, nd, prev_nd, ch, mh, cb, width, height
+        )
+    )
+    timings["Reproject history"], rep = _time(
+        f_rep,
+        state.color_history.astype(jnp.float32),
+        state.moments_history.astype(jnp.float32),
+        state.combined_history.astype(jnp.float32),
+        iters=iters,
+    )
+
     f_accum = jax.jit(
         lambda g: passes.svgf_accumulate(
-            gathered, nd, prev_nd, camera, prev_camera,
-            state.color_history.astype(jnp.float32),
-            state.moments_history.astype(jnp.float32),
-            width, height, fc, settings.temporal_upscale_feedback, options,
+            g, nd, rep, prev_camera, width, height, fc,
+            settings.temporal_upscale_feedback, options,
         )
     )
     timings["Temporal upscale"], (color_hist, moments_hist) = _time(f_accum, gathered, iters=iters)
@@ -92,10 +103,7 @@ def measure_passes(session, iters: int = 3) -> Dict[str, float]:
     timings["Combine illumination"], combined = _time(f_combine, denoised, iters=iters)
 
     f_taa = jax.jit(
-        lambda c: passes.taa(
-            c, state.combined_history.astype(jnp.float32), nd, camera, prev_camera,
-            width, height, settings.taa_feedback,
-        )
+        lambda c: passes.taa(c, rep, nd, width, height, settings.taa_feedback)
     )
     timings["TAA"], _ = _time(f_taa, combined, iters=iters)
     return timings

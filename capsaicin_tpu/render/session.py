@@ -146,5 +146,7 @@ class RenderSession:
         from PIL import Image
 
         img = image if image is not None else self.render()
-        arr = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        # Row 0 of the framebuffer is sensor -v (camera.h:44-58 maps pixel
+        # y=0 to -up); flip for display like the reference's fullscreen blit.
+        arr = np.clip(np.asarray(img) * 255.0 + 0.5, 0, 255).astype(np.uint8)[::-1]
         Image.fromarray(arr).save(path)

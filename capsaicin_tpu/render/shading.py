@@ -25,21 +25,54 @@ PI = sampling.PI
 SKY_COLOR = jnp.array([0.7, 0.7, 0.85], jnp.float32)  # rt_direct_lighting.hlsl:56
 
 
-def interpolate_attributes(scene, prim, u, v):
-    """(global prim id, barycentrics) -> position, shading normal, texcoord.
+def _tri_attr_table(scene):
+    """[T, 28] packed per-triangle records: positions, normals, texcoords,
+    material kd, and texture id — ONE gather fetches everything a hit needs
+    instead of ~12 row gathers (dynamic gathers are the dominant TPU cost:
+    ~17ns/index regardless of row width). XLA CSEs this concat across the
+    passes of a frame."""
+    mesh = scene.tri_mesh
+    return jnp.concatenate(
+        [
+            scene.tri_v0, scene.tri_v1, scene.tri_v2,
+            scene.tri_n0, scene.tri_n1, scene.tri_n2,
+            scene.tri_t0, scene.tri_t1, scene.tri_t2,
+            scene.mesh_kd[mesh],
+            scene.mesh_texture[mesh].astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )
 
-    Matches scene.h:5-50: P and UV interpolated with (1-u-v, u, v); the
-    normal is normalized after interpolation. Uses the flattened triangle SoA
-    (identical values to the pooled indexed fetch; see Scene docstring).
+
+def fetch_hit_attributes(scene, prim, u, v):
+    """(global prim id, barycentrics) -> dict with position, shading normal,
+    texcoord, material kd, texture id — one gather total.
+
+    Interpolation matches scene.h:5-50: P and UV interpolated with
+    (1-u-v, u, v); the normal is normalized after interpolation. Uses the
+    flattened triangle SoA (identical values to the pooled indexed fetch).
     """
     p = jnp.clip(prim, 0, scene.tri_v0.shape[0] - 1)
+    attr = _tri_attr_table(scene)[p]
     w = (1.0 - u - v)[..., None]
     uu = u[..., None]
     vv = v[..., None]
-    pos = scene.tri_v0[p] * w + scene.tri_v1[p] * uu + scene.tri_v2[p] * vv
-    nrm = m.normalize(scene.tri_n0[p] * w + scene.tri_n1[p] * uu + scene.tri_n2[p] * vv)
-    tx = scene.tri_t0[p] * w + scene.tri_t1[p] * uu + scene.tri_t2[p] * vv
-    return pos, nrm, tx
+    pos = attr[..., 0:3] * w + attr[..., 3:6] * uu + attr[..., 6:9] * vv
+    nrm = m.normalize(attr[..., 9:12] * w + attr[..., 12:15] * uu + attr[..., 15:18] * vv)
+    tx = attr[..., 18:20] * w + attr[..., 20:22] * uu + attr[..., 22:24] * vv
+    return {
+        "p": pos,
+        "n": nrm,
+        "tx": tx,
+        "kd": attr[..., 24:27],
+        "tex": attr[..., 27].astype(jnp.int32),
+    }
+
+
+def interpolate_attributes(scene, prim, u, v):
+    """Compatibility wrapper returning (position, normal, texcoord)."""
+    hit = fetch_hit_attributes(scene, prim, u, v)
+    return hit["p"], hit["n"], hit["tx"]
 
 
 def sample_atlas(atlas, sizes, tex_id, uv):
@@ -75,24 +108,35 @@ def sample_atlas(atlas, sizes, tex_id, uv):
     return top * (1 - fy) + bot * fy
 
 
-def get_material(scene, prim, tx, use_material_kd: bool = False):
-    """Diffuse albedo kd; scene.h:52-61.
+def material_from_hit(scene, hit, use_material_kd: bool = False):
+    """Diffuse albedo kd from prefetched hit attributes; scene.h:52-61.
 
     Untextured meshes -> constant 0.75 (the reference ignores MTL Kd).
     `use_material_kd=True` is our extension that substitutes the MTL Kd.
-    Textured: v-flip then bilinear fetch then gamma-2.2 decode.
+    Textured: v-flip then bilinear atlas fetch then gamma-2.2 decode. The
+    atlas fetch (4 gathers) is skipped entirely when the Scene has no
+    textures — statically known from the 1x1 fallback atlas shape.
     """
-    p = jnp.clip(prim, 0, scene.tri_mesh.shape[0] - 1)
-    mesh = scene.tri_mesh[p]
-    tex_id = scene.mesh_texture[mesh]
-    flip = jnp.stack([tx[..., 0], 1.0 - tx[..., 1]], axis=-1)
-    tex_rgb = sample_atlas(scene.atlas, scene.atlas_size, tex_id, flip)[..., :3]
-    if use_material_kd:
-        base = scene.mesh_kd[mesh]
+    tex_id = hit["tex"]
+    base = hit["kd"] if use_material_kd else jnp.full_like(hit["kd"], 0.75)
+    has_textures = scene.atlas.shape[1] > 1 or scene.atlas.shape[2] > 1
+    if has_textures:
+        tx = hit["tx"]
+        flip = jnp.stack([tx[..., 0], 1.0 - tx[..., 1]], axis=-1)
+        tex_rgb = sample_atlas(scene.atlas, scene.atlas_size, tex_id, flip)[..., :3]
+        kd = jnp.where((tex_id >= 0)[..., None], tex_rgb, base)
     else:
-        base = jnp.full_like(tex_rgb, 0.75)
-    kd = jnp.where((tex_id >= 0)[..., None], tex_rgb, base)
+        kd = base
     return jnp.power(jnp.maximum(kd, 0.0), 2.2)
+
+
+def get_material(scene, prim, tx, use_material_kd: bool = False):
+    """Compatibility wrapper: fetch + material in one call."""
+    hit = fetch_hit_attributes(
+        scene, prim, jnp.zeros_like(tx[..., 0]), jnp.zeros_like(tx[..., 0])
+    )
+    hit = dict(hit, tx=tx)
+    return material_from_hit(scene, hit, use_material_kd)
 
 
 def directional_light_sample(frame_count):

