@@ -48,7 +48,7 @@ PACKET = 1024  # rays per packet: 8 sublanes x 128 lanes
 SUB = 8
 LANE = 128
 
-LEAF_SIZE = 12  # 12 tris x 10 floats = 120 lanes per leaf row
+LEAF_SIZE = 8  # 8 tris x 10 floats = 80 lanes per leaf row (small kernel body)
 NODES_PER_ROW = 16  # 16 nodes x 8 floats = 128 lanes
 
 
@@ -56,18 +56,28 @@ def _use_interpret():
     return jax.default_backend() != "tpu"
 
 
-class PackedBVH(NamedTuple):
-    """Traversal-ready lane-packed BVH.
+@jax.tree_util.register_pytree_node_class
+class PackedBVH:
+    """Traversal-ready lane-packed BVH (pytree: arrays are children,
+    n_leaves is static aux data — the kernel needs it at trace time).
 
     nodes: [ceil(2L/16), 128] f32 — node k at row k//16, lanes (k%16)*8..+6
            as (min xyz, max xyz); slots 6,7 unused
-    tris:  [ceil(P/12), 128] f32 — leaf row l holds its 12 triangles, tri j
+    tris:  [ceil(P/8), 128] f32 — leaf row l holds its 8 triangles, tri j
            at lanes j*10..+10 as (v0 xyz, e1 xyz, e2 xyz, tid+1)
     """
 
-    nodes: jnp.ndarray
-    tris: jnp.ndarray
-    n_leaves: int
+    def __init__(self, nodes, tris, n_leaves: int):
+        self.nodes = nodes
+        self.tris = tris
+        self.n_leaves = n_leaves
+
+    def tree_flatten(self):
+        return (self.nodes, self.tris), self.n_leaves
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux)
 
 
 def build_packed_bvh(tris) -> PackedBVH:
@@ -76,7 +86,7 @@ def build_packed_bvh(tris) -> PackedBVH:
 
 
 def pack_bvh(bvh: BVH) -> PackedBVH:
-    assert bvh.leaf_size == LEAF_SIZE, "packet traversal expects leaf_size=12"
+    assert bvh.leaf_size == LEAF_SIZE, f"packet traversal expects leaf_size={LEAF_SIZE}"
     n2 = bvh.nodes_min.shape[0]
     rows_n = -(-n2 // NODES_PER_ROW)
     node_rec = jnp.concatenate(
@@ -154,7 +164,9 @@ def _traverse_kernel(
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
     def body(state):
-        k, t_best, u, v, prim, live = state
+        k, t_best, u, v, prim = state
+        # any-hit lanes retire once prim is latched (prim >= 0)
+        live = (prim < 0) if any_hit else True
 
         # node AABB: one-hot extract 6 scalars from the packed row
         row = nodes_ref[k // NODES_PER_ROW, :].reshape(1, 128)
@@ -180,7 +192,9 @@ def _traverse_kernel(
             jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
             jnp.maximum(tz0, tz1),
         )
-        hit_box = (t_near <= t_far) & (t_far >= tmin) & (t_near <= t_best) & live
+        hit_box = (t_near <= t_far) & (t_far >= tmin) & (t_near <= t_best)
+        if any_hit:
+            hit_box = hit_box & live
         any_box = jnp.any(hit_box)
 
         is_leaf = k >= n_leaves
@@ -219,9 +233,10 @@ def _traverse_kernel(
                     & (uu + vv <= 1.0)
                     & (tt > tmin)
                     & (tt < jnp.minimum(tmax, t_best))
-                    & live
                     & (tid >= 0)
                 )
+                if any_hit:
+                    ok = ok & (prim < 0)
                 t_best = jnp.where(ok, tt, t_best)
                 u = jnp.where(ok, uu, u)
                 v = jnp.where(ok, vv, v)
@@ -231,19 +246,16 @@ def _traverse_kernel(
         t_best, u, v, prim = jax.lax.cond(
             any_box & is_leaf, leaf_tests, lambda c: c, (t_best, u, v, prim)
         )
-        if any_hit:
-            live = live & (prim < 0)
 
         descend = any_box & (~is_leaf)
         k = jnp.where(descend, 2 * k, _dfs_next_scalar(k))
-        return k, t_best, u, v, prim, live
+        return k, t_best, u, v, prim
 
     def cond(state):
         k = state[0]
-        live = state[5]
         more = k > 1
         if any_hit:
-            more = more & jnp.any(live)
+            more = more & jnp.any(state[4] < 0)
         return more
 
     init = (
@@ -252,9 +264,8 @@ def _traverse_kernel(
         jnp.zeros((SUB, LANE), jnp.float32),
         jnp.zeros((SUB, LANE), jnp.float32),
         jnp.full((SUB, LANE), -1, jnp.int32),
-        jnp.ones((SUB, LANE), bool),
     )
-    k, t_best, u, v, prim, live = jax.lax.while_loop(cond, body, init)
+    k, t_best, u, v, prim = jax.lax.while_loop(cond, body, init)
     t_out[0, 0] = t_best
     u_out[0, 0] = u
     v_out[0, 0] = v

@@ -14,9 +14,23 @@ import functools
 import time
 from typing import Dict, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent XLA compilation cache: frame functions and the Pallas traversal
+# kernels are expensive to compile (minutes at 1080p); cache across processes.
+try:
+    _cache_dir = os.environ.get(
+        "CAPSAICIN_CACHE_DIR", os.path.expanduser("~/.cache/capsaicin_tpu/xla")
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
 
 from ..ops.camera import Camera
 from ..scene.scene import Scene
@@ -58,13 +72,9 @@ class RenderSession:
         analog of AssetLoad + BLAS + TLAS systems firing on the next frame."""
         self.scene_dev = jax.device_put(scene)
         mode = resolve_mode(self.traversal_mode, scene.tri_v0.shape[0])
-        if mode == "bvh":
-            from ..ops import lbvh
+        from .traversal import build_accel
 
-            tris = np.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1)
-            self.bvh = lbvh.build_lbvh(jnp.asarray(tris))
-        else:
-            self.bvh = None
+        self.bvh = build_accel(self.scene_dev, mode)
         self._resolved_mode = mode
         self._frame_fn = None
         self.reset()

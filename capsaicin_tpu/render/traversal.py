@@ -52,7 +52,17 @@ def make_brute_force(scene):
 
 
 def make_bvh(scene, bvh):
-    from ..ops import traverse
+    from ..ops import pallas_traverse, traverse
+
+    if isinstance(bvh, pallas_traverse.PackedBVH):
+        # packet-traversal Pallas kernel (TPU production path)
+        def closest(origins, dirs, tmin, tmax):
+            return pallas_traverse.bvh_closest(bvh, origins, dirs, tmin, tmax)
+
+        def any_hit(origins, dirs, tmin, tmax):
+            return pallas_traverse.bvh_any(bvh, origins, dirs, tmin, tmax)
+
+        return closest, any_hit
 
     def closest(origins, dirs, tmin, tmax):
         return traverse.bvh_closest(bvh, origins, dirs, tmin, tmax)
@@ -61,6 +71,23 @@ def make_bvh(scene, bvh):
         return traverse.bvh_any(bvh, origins, dirs, tmin, tmax)
 
     return closest, any_hit
+
+
+def build_accel(scene, mode: str):
+    """Build the acceleration structure for the resolved traversal mode:
+    the BLAS/TLAS-build analog (blas_system.cpp / tlas_system.cpp)."""
+    import jax
+
+    if mode != "bvh":
+        return None
+    tris = jnp.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1)
+    from ..ops import lbvh, pallas_traverse
+
+    # The packet kernel needs the whole scene VMEM-resident (~300k tris);
+    # bigger scenes (or non-TPU backends) use the XLA lockstep traversal.
+    if jax.default_backend() == "tpu" and tris.shape[0] <= 300_000:
+        return pallas_traverse.build_packed_bvh(tris)
+    return lbvh.build_lbvh(tris)
 
 
 def resolve_mode(mode: str, num_triangles: int) -> str:
