@@ -171,6 +171,7 @@ def indirect_gi(
     height,
     frame_count,
     options: RenderOptions,
+    closest_bounce_fn=None,
 ):
     """Iterative path loop restructured as a wavefront over all pixels with
     lane masking (rt_indirect.hlsl:42-175). Rays for every pixel advance in
@@ -277,7 +278,8 @@ def indirect_gi(
         if bounce != 0:
             throughput = throughput * kd
 
-        hit = closest_fn(p, d, 1e-4, 1e5)
+        bounce_trace = closest_bounce_fn or closest_fn
+        hit = bounce_trace(p, d, 1e-4, 1e5)
         prim = jnp.where(active, hit["prim"], -1)
         u = hit["u"]
         v = hit["v"]

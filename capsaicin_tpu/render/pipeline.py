@@ -83,6 +83,7 @@ def render_frame(
     height: int,
     options: RenderOptions,
     collect_aux: bool = False,
+    closest_bounce_fn: Callable = None,
 ):
     """One full frame. Returns (display_rgb [H,W,3] gamma-encoded,
     new FrameState[, PassOutputs])."""
@@ -117,6 +118,7 @@ def render_frame(
         height,
         frame_count,
         options,
+        closest_bounce_fn=closest_bounce_fn,
     )
 
     # 4. spatial gather

@@ -102,9 +102,14 @@ class RenderSession:
 
         def step(scene, bvh, camera, state, settings, noise):
             closest, any_hit = make_traversal(scene, mode, bvh)
+            bounce = None
+            if mode == "bvh" and options.sort_bounce_rays:
+                from .traversal import with_ray_sorting
+
+                bounce = with_ray_sorting(closest)
             return pipeline.render_frame(
                 scene, closest, any_hit, camera, state, settings, noise,
-                width, height, options,
+                width, height, options, closest_bounce_fn=bounce,
             )
 
         return jax.jit(step, donate_argnums=(3,))
@@ -151,6 +156,41 @@ class RenderSession:
         from . import profiling
 
         return profiling.measure_passes(self, iters=iters)
+
+    # -- checkpoint / resume ----------------------------------------------
+
+    def save_state(self, path: str):
+        """Serialize the temporal state (histories, prev gbuffer, camera,
+        frame counter) so a progressive render can resume later — a
+        capability the reference lacks entirely (SURVEY.md §5)."""
+        state = self.state
+        cam_arrays = {f"cam_{i}": np.asarray(x) for i, x in enumerate(state.prev_camera)}
+        np.savez_compressed(
+            path,
+            color_history=np.asarray(state.color_history),
+            moments_history=np.asarray(state.moments_history),
+            combined_history=np.asarray(state.combined_history),
+            prev_nd_oct=np.asarray(state.prev_nd_oct),
+            prev_nd_inst=np.asarray(state.prev_nd_inst),
+            prev_nd_depth=np.asarray(state.prev_nd_depth),
+            frame_count=np.asarray(state.frame_count),
+            **cam_arrays,
+        )
+
+    def load_state(self, path: str):
+        data = np.load(path)
+        n_cam = len(self.camera)
+        cam = Camera(*[jnp.asarray(data[f"cam_{i}"]) for i in range(n_cam)])
+        self.state = pipeline.FrameState(
+            color_history=jnp.asarray(data["color_history"]),
+            moments_history=jnp.asarray(data["moments_history"]),
+            combined_history=jnp.asarray(data["combined_history"]),
+            prev_nd_oct=jnp.asarray(data["prev_nd_oct"]),
+            prev_nd_inst=jnp.asarray(data["prev_nd_inst"]),
+            prev_nd_depth=jnp.asarray(data["prev_nd_depth"]),
+            prev_camera=cam,
+            frame_count=jnp.int32(data["frame_count"]),
+        )
 
     def save_png(self, path: str, image: Optional[np.ndarray] = None):
         from PIL import Image

@@ -105,3 +105,21 @@ def make_traversal(scene, mode: str, bvh=None):
             raise ValueError("bvh traversal requested but no BVH was built")
         return make_bvh(scene, bvh)
     raise ValueError(f"unknown traversal mode {mode!r}")
+
+
+def with_ray_sorting(closest_fn):
+    """Wrap a closest-hit function with morton/direction-octant ray sorting.
+
+    Incoherent bounce rays make packet traversal visit near-union node sets;
+    sorting restores locality (the classic wavefront ray-reordering move,
+    PAPERS.md). Results are scattered back to original ray order."""
+    import jax.numpy as jnp
+
+    from ..ops.pallas_traverse import sort_rays_for_traversal
+
+    def sorted_closest(origins, dirs, tmin, tmax):
+        order, inverse = sort_rays_for_traversal(origins, dirs)
+        out = closest_fn(origins[order], dirs[order], tmin, tmax)
+        return {k: v[inverse] for k, v in out.items()}
+
+    return sorted_closest
