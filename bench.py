@@ -36,18 +36,43 @@ def rays_per_frame(width, height, bounces, lowres):
     return full * 2 + indirect + nee
 
 
-def run_config(width, height, bounces, scene_name, traversal, frames, lowres=False):
+# The five BASELINE.json benchmark configs
+CONFIGS = {
+    "direct512": dict(width=512, height=512, bounces=0, scene="cornell",
+                      options=dict(output=1, taa=False, denoise=False, gather=False)),
+    "gi1080": dict(width=1920, height=1080, bounces=1, scene="cornell"),
+    "gi1080x4": dict(width=1920, height=1080, bounces=4, scene="cornell"),
+    "textured": dict(width=1024, height=1024, bounces=1, scene="textured"),
+    "colonnade": dict(width=1920, height=1080, bounces=1, scene="colonnade",
+                      traversal="bvh"),
+    "progressive": dict(width=1024, height=1024, bounces=1, scene="cornell",
+                        options=dict(lowres_indirect=True)),
+}
+
+
+def run_config(width, height, bounces, scene_name, traversal, frames, lowres=False,
+               extra_options=None):
     import numpy as np
 
     from capsaicin_tpu.render import RenderOptions, RenderSession
     from capsaicin_tpu.scene import build_scene
-    from capsaicin_tpu.scene.procedural import colonnade, cornell_box, make_camera
+    from capsaicin_tpu.scene.procedural import (
+        colonnade, cornell_box, cornell_box_textured, make_camera,
+    )
 
-    options = RenderOptions(num_diffuse_bounces=bounces, lowres_indirect=lowres)
+    opt_kw = dict(num_diffuse_bounces=bounces, lowres_indirect=lowres)
+    opt_kw.update(extra_options or {})
+    options = RenderOptions(**opt_kw)
     session = RenderSession(width=width, height=height, options=options, traversal=traversal)
-    session.set_camera(make_camera("cornell" if scene_name == "cornell" else "colonnade", width, height))
-    meshes = cornell_box() if scene_name == "cornell" else colonnade()
-    session.set_scene(build_scene(meshes))
+    session.set_camera(make_camera(
+        "colonnade" if scene_name == "colonnade" else "cornell", width, height))
+    if scene_name == "colonnade":
+        session.set_scene(build_scene(colonnade()))
+    elif scene_name == "textured":
+        meshes, tex = cornell_box_textured()
+        session.set_scene(build_scene(meshes, tex))
+    else:
+        session.set_scene(build_scene(cornell_box()))
 
     # compile + warm up
     session.render()
@@ -79,12 +104,24 @@ def main():
     ap.add_argument("--bounces", type=int, default=1)
     ap.add_argument("--scene", default="cornell")
     ap.add_argument("--traversal", default="auto")
+    ap.add_argument("--config", default=None, choices=sorted(CONFIGS),
+                    help="run a named BASELINE config instead of flags")
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
 
-    res = run_config(
-        args.width, args.height, args.bounces, args.scene, args.traversal, args.frames
-    )
+    if args.config:
+        cfg = CONFIGS[args.config]
+        res = run_config(
+            cfg["width"], cfg["height"], cfg["bounces"], cfg["scene"],
+            cfg.get("traversal", "auto"), args.frames,
+            lowres=cfg.get("options", {}).get("lowres_indirect", False),
+            extra_options={k: v for k, v in cfg.get("options", {}).items()
+                           if k != "lowres_indirect"},
+        )
+    else:
+        res = run_config(
+            args.width, args.height, args.bounces, args.scene, args.traversal, args.frames
+        )
     value = round(res["mrays_per_s"], 2)
     print(
         json.dumps(

@@ -140,7 +140,7 @@ def direct_lighting(scene, any_fn, camera, gb, width, height, frame_count, optio
     albedo = jnp.where(miss_f[..., None], 1.0, jnp.where(black[..., None], 0.0, kd))
     nd_oct = jnp.where(invalid[..., None], 0.0, oct)
     nd_depth = jnp.where(invalid, 0.0, depth)
-    inst = jnp.where(invalid, -1, scene.tri_mesh[jnp.clip(_flat(prim), 0, None)])
+    inst = jnp.where(invalid, -1, hit["mesh"])
 
     return (
         _unflat(direct, height, width),
@@ -191,9 +191,15 @@ def indirect_gi(
         fullres_xy = xy
 
     fx = _flat(fullres_xy)
-    # gbuffer fetch at fullres_xy
-    prim0 = gb["prim"][fx[:, 1], fx[:, 0]]
-    bary0 = gb["bary"][fx[:, 1], fx[:, 0]]
+    if options.lowres_indirect:
+        # gbuffer fetch at the interleave-phase subsample positions
+        prim0 = gb["prim"][fx[:, 1], fx[:, 0]]
+        bary0 = gb["bary"][fx[:, 1], fx[:, 0]]
+    else:
+        # identity layout: plain reshape (no gather), and the bounce-0
+        # attribute fetch below CSEs with the direct pass's
+        prim0 = _flat(gb["prim"])
+        bary0 = _flat(gb["bary"])
 
     npix = fx.shape[0]
     color = jnp.zeros((npix, 3))
@@ -231,15 +237,15 @@ def indirect_gi(
                 xy0 = prev_xy - 0.5
                 bx = jnp.floor(xy0[..., 0]).astype(jnp.int32)
                 by = jnp.floor(xy0[..., 1]).astype(jnp.int32)
-                fx = (xy0[..., 0] - jnp.floor(xy0[..., 0]))[..., None]
-                fy = (xy0[..., 1] - jnp.floor(xy0[..., 1]))[..., None]
+                wx = (xy0[..., 0] - jnp.floor(xy0[..., 0]))[..., None]
+                wy = (xy0[..., 1] - jnp.floor(xy0[..., 1]))[..., None]
                 c00 = resample._gather_pixels(fb_pack, bx, by)
                 c10 = resample._gather_pixels(fb_pack, bx + 1, by)
                 c01 = resample._gather_pixels(fb_pack, bx, by + 1)
                 c11 = resample._gather_pixels(fb_pack, bx + 1, by + 1)
-                top = c00 * (1.0 - fx) + c10 * fx
-                bot = c01 * (1.0 - fx) + c11 * fx
-                bil = top * (1.0 - fy) + bot * fy
+                top = c00 * (1.0 - wx) + c10 * wx
+                bot = c01 * (1.0 - wx) + c11 * wx
+                bil = top * (1.0 - wy) + bot * wy
                 hist = bil[..., :3]
                 # point fetch (Load at int coords, rt_indirect.hlsl:125):
                 # select the matching bilinear corner

@@ -39,6 +39,7 @@ def _tri_attr_table(scene):
             scene.tri_t0, scene.tri_t1, scene.tri_t2,
             scene.mesh_kd[mesh],
             scene.mesh_texture[mesh].astype(jnp.float32)[..., None],
+            mesh.astype(jnp.float32)[..., None],
         ],
         axis=-1,
     )
@@ -66,6 +67,7 @@ def fetch_hit_attributes(scene, prim, u, v):
         "tx": tx,
         "kd": attr[..., 24:27],
         "tex": attr[..., 27].astype(jnp.int32),
+        "mesh": attr[..., 28].astype(jnp.int32),
     }
 
 

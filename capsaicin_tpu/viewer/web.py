@@ -23,11 +23,14 @@ from .input import CameraRig
 _PAGE = """<!DOCTYPE html>
 <html><head><title>capsaicin-tpu</title><style>
 body { background:#111; color:#ddd; font-family:monospace; margin:0 }
-#hud { position:fixed; top:8px; left:8px; background:#000a; padding:8px }
+#hud { position:fixed; top:8px; left:8px; background:#000a; padding:8px; font-size:12px }
+#hud label { display:block; margin-top:4px }
+#hud input[type=range] { width:110px; vertical-align:middle }
 canvas { display:block; margin:auto; image-rendering:pixelated }
 </style></head><body>
 <div id="hud">capsaicin-tpu &middot; WASD/QE move &middot; drag to look<br>
-<span id="stats"></span></div>
+<span id="stats"></span>
+<div id="knobs"></div></div>
 <canvas id="c"></canvas>
 <script>
 const canvas = document.getElementById('c');
@@ -42,9 +45,28 @@ window.addEventListener('mousemove', e => {
   if (dragging) { acc.dx += e.clientX - lastX; acc.dy += e.clientY - lastY;
                   lastX = e.clientX; lastY = e.clientY; }
 });
+// settings panel (the ImGui knob set, gui_system.cpp:69-91)
+const changed = {};
+fetch('/settings').then(r => r.json()).then(cfg => {
+  const div = document.getElementById('knobs');
+  for (const [name, spec] of Object.entries(cfg)) {
+    const label = document.createElement('label');
+    label.textContent = name + ' ';
+    const input = document.createElement('input');
+    input.type = 'range';
+    input.min = spec.min; input.max = spec.max; input.step = spec.step;
+    input.value = spec.value;
+    const val = document.createElement('span');
+    val.textContent = spec.value;
+    input.oninput = () => { changed[name] = parseFloat(input.value);
+                           val.textContent = input.value; };
+    label.appendChild(input); label.appendChild(val);
+    div.appendChild(label);
+  }
+});
 async function loop() {
-  const input = {keys: [...keys], dx: acc.dx, dy: acc.dy};
-  acc.dx = 0; acc.dy = 0;
+  const input = {keys: [...keys], dx: acc.dx, dy: acc.dy, settings: {...changed}};
+  for (const k in changed) delete changed[k];
   const r = await fetch('/frame', {method: 'POST', body: JSON.stringify(input)});
   const stats = JSON.parse(r.headers.get('X-Stats'));
   document.getElementById('stats').textContent =
@@ -58,6 +80,19 @@ async function loop() {
 loop();
 </script></body></html>"""
 
+# slider specs for the dynamic (non-recompiling) knobs; ranges follow the
+# ImGui panel (gui_system.cpp:76-90)
+_KNOBS = {
+    "eaw_normal_sigma": (1.0, 256.0, 1.0),
+    "eaw_depth_sigma": (0.1, 10.0, 0.1),
+    "eaw_luma_sigma": (0.1, 10.0, 0.1),
+    "gather_normal_sigma": (1.0, 256.0, 1.0),
+    "gather_depth_sigma": (0.1, 10.0, 0.1),
+    "gather_luma_sigma": (0.1, 10.0, 0.1),
+    "temporal_upscale_feedback": (0.0, 1.0, 0.005),
+    "taa_feedback": (0.0, 1.0, 0.005),
+}
+
 
 class ViewerState:
     def __init__(self, session):
@@ -69,7 +104,7 @@ class ViewerState:
         self.last_time = time.perf_counter()
         self.lock = threading.Lock()
 
-    def step(self, keys, dx, dy):
+    def step(self, keys, dx, dy, settings_updates=None):
         now = time.perf_counter()
         dt_ms = min((now - self.last_time) * 1e3, 100.0)
         self.last_time = now
@@ -78,6 +113,14 @@ class ViewerState:
             self.rig.handle_keys(keys, dt_ms)
         if dx or dy:
             self.rig.handle_mouse(dx, dy, dt_ms)
+        if settings_updates:
+            import jax.numpy as jnp
+
+            cur = self.session.settings._asdict()
+            for name, value in settings_updates.items():
+                if name in cur:
+                    cur[name] = jnp.float32(value)
+            self.session.settings = type(self.session.settings)(**cur)
         camera = self.rig.to_camera(self.focal, self.sensor_w, self.aspect)
         t0 = time.perf_counter()
         img = self.session.render(camera)
@@ -103,6 +146,23 @@ def serve(session, port: int = 8089, host: str = "127.0.0.1"):
             pass
 
         def do_GET(self):
+            if self.path.startswith("/settings"):
+                cur = state.session.settings._asdict()
+                cfg = {
+                    name: {
+                        "min": lo, "max": hi, "step": st,
+                        "value": float(cur[name]),
+                    }
+                    for name, (lo, hi, st) in _KNOBS.items()
+                    if name in cur
+                }
+                body = json.dumps(cfg).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+                return
             body = _PAGE.encode()
             self.send_response(200)
             self.send_header("Content-Type", "text/html")
@@ -121,6 +181,7 @@ def serve(session, port: int = 8089, host: str = "127.0.0.1"):
                     payload.get("keys", []),
                     float(payload.get("dx", 0)),
                     float(payload.get("dy", 0)),
+                    payload.get("settings") or None,
                 )
                 frame = int(state.session.state.frame_count)
             data = _encode_jpeg(img)

@@ -111,3 +111,16 @@ def test_reset_restarts_accumulation(cornell_session):
     assert int(s.state.frame_count) == 2
     s.reset()
     assert int(s.state.frame_count) == 0
+
+
+def test_multi_bounce_gi():
+    """Regression: bounce >= 2 once crashed on a shadowed loop variable in
+    the feedback path (float fraction clobbering the pixel grid)."""
+    s = RenderSession(
+        width=32, height=32, traversal="brute",
+        options=RenderOptions(num_diffuse_bounces=3),
+    )
+    s.set_camera(make_camera("cornell", 32, 32))
+    s.set_scene(build_scene(cornell_box()))
+    img = s.render()
+    assert np.all(np.isfinite(img))
