@@ -229,20 +229,32 @@ def indirect_gi(
                 prev_uv = cam.calculate_image_plane_uv(prev_camera, p)
                 offscreen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
                 prev_xy = resample.uv_to_xy(prev_uv, (width, height))
-                # pack prev-depth with the history so the bilinear's four
-                # corner gathers serve both fetches (gathers cost ~17ns/idx)
+                # pack prev-depth with the history, then quad-pack so ONE
+                # gather fetches all four bilinear corners for both (gather
+                # cost is per-index on TPU, width is free)
                 fb_pack = jnp.concatenate(
                     [combined_history[..., :3], prev_nd["depth"][..., None]], axis=-1
+                )
+                fb_pad = jnp.pad(fb_pack, ((1, 1), (1, 1), (0, 0)), mode="edge")
+                fb_quad = jnp.concatenate(
+                    [
+                        fb_pad,
+                        shift2d_clamped(fb_pad, 1, 0),
+                        shift2d_clamped(fb_pad, 0, 1),
+                        shift2d_clamped(fb_pad, 1, 1),
+                    ],
+                    axis=-1,
                 )
                 xy0 = prev_xy - 0.5
                 bx = jnp.floor(xy0[..., 0]).astype(jnp.int32)
                 by = jnp.floor(xy0[..., 1]).astype(jnp.int32)
                 wx = (xy0[..., 0] - jnp.floor(xy0[..., 0]))[..., None]
                 wy = (xy0[..., 1] - jnp.floor(xy0[..., 1]))[..., None]
-                c00 = resample._gather_pixels(fb_pack, bx, by)
-                c10 = resample._gather_pixels(fb_pack, bx + 1, by)
-                c01 = resample._gather_pixels(fb_pack, bx, by + 1)
-                c11 = resample._gather_pixels(fb_pack, bx + 1, by + 1)
+                quad = resample._gather_pixels(fb_quad, bx + 1, by + 1)
+                c00 = quad[..., 0:4]
+                c10 = quad[..., 4:8]
+                c01 = quad[..., 8:12]
+                c11 = quad[..., 12:16]
                 top = c00 * (1.0 - wx) + c10 * wx
                 bot = c01 * (1.0 - wx) + c11 * wx
                 bil = top * (1.0 - wy) + bot * wy
@@ -445,12 +457,31 @@ def reproject_and_fetch_history(
         base_y = jnp.floor(xy0[..., 1]).astype(jnp.int32)
         fx = (xy0[..., 0] - jnp.floor(xy0[..., 0]))[..., None]
         fy = (xy0[..., 1] - jnp.floor(xy0[..., 1]))[..., None]
+        # Quad-pack: build Q[y,x] = (packed[y,x], [y,x+1], [y+1,x], [y+1,x+1])
+        # with three cheap shifts, then fetch the 4x4 bicubic footprint with
+        # FOUR quad gathers instead of sixteen point gathers (gather cost is
+        # per-index, not per-byte, on TPU). The source is edge-padded by 2 so
+        # every in-range corner index is exact (identical to the clamped
+        # per-corner fetch of resample.bicubic_taps, including borders).
+        nch = packed.shape[-1]
+        pq = jnp.pad(packed, ((2, 2), (2, 2), (0, 0)), mode="edge")
+        q = jnp.concatenate(
+            [
+                pq,
+                shift2d_clamped(pq, 1, 0),
+                shift2d_clamped(pq, 0, 1),
+                shift2d_clamped(pq, 1, 1),
+            ],
+            axis=-1,
+        )
         corners = {}
-        for cj in (-1, 0, 1, 2):
-            for ci in (-1, 0, 1, 2):
-                corners[(ci, cj)] = resample._gather_pixels(
-                    packed, base_x + ci, base_y + cj
-                )
+        for cj in (-1, 1):
+            for ci in (-1, 1):
+                quad = resample._gather_pixels(q, base_x + 2 + ci, base_y + 2 + cj)
+                corners[(ci, cj)] = quad[..., 0:nch]
+                corners[(ci + 1, cj)] = quad[..., nch : 2 * nch]
+                corners[(ci, cj + 1)] = quad[..., 2 * nch : 3 * nch]
+                corners[(ci + 1, cj + 1)] = quad[..., 3 * nch : 4 * nch]
         taps, base_w, offs = [], [], []
         for j in (-1, 0, 1):
             for i in (-1, 0, 1):

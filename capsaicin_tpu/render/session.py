@@ -22,13 +22,16 @@ import numpy as np
 
 # Persistent XLA compilation cache: frame functions and the Pallas traversal
 # kernels are expensive to compile (minutes at 1080p); cache across processes.
+# TPU only — XLA:CPU AOT cache entries encode host machine features and can
+# SIGILL when loaded on a different host profile.
 try:
-    _cache_dir = os.environ.get(
-        "CAPSAICIN_CACHE_DIR", os.path.expanduser("~/.cache/capsaicin_tpu/xla")
-    )
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    if jax.default_backend() == "tpu":
+        _cache_dir = os.environ.get(
+            "CAPSAICIN_CACHE_DIR", os.path.expanduser("~/.cache/capsaicin_tpu/xla")
+        )
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 except Exception:  # pragma: no cover - cache is best-effort
     pass
 
