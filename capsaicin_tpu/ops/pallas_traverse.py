@@ -49,7 +49,24 @@ SUB = 8
 LANE = 128
 
 LEAF_SIZE = 8  # 8 tris x 10 floats = 80 lanes per leaf row (small kernel body)
+TRIS_PER_ROW = LEAF_SIZE
 NODES_PER_ROW = 16  # 16 nodes x 8 floats = 128 lanes
+
+
+def pack_tri_rows(v0, e1, e2, tri_id):
+    """[T,3]x3 + [T] -> [ceil(T/8), 128] rows, tri j at lanes j*10..+10 as
+    (v0 xyz, e1 xyz, e2 xyz, tid+1); 0 id marks padding."""
+    t = v0.shape[0]
+    tid_f = (tri_id + 1).astype(jnp.float32)
+    rec = jnp.concatenate([v0, e1, e2, tid_f[:, None]], axis=1)  # [T, 10]
+    rows = -(-t // TRIS_PER_ROW)
+    pad = rows * TRIS_PER_ROW - t
+    if pad:
+        rec = jnp.concatenate([rec, jnp.zeros((pad, 10), jnp.float32)])
+    packed = rec.reshape(rows, TRIS_PER_ROW * 10)
+    return jnp.concatenate(
+        [packed, jnp.zeros((rows, 128 - TRIS_PER_ROW * 10), jnp.float32)], axis=1
+    )
 
 
 def _use_interpret():
@@ -97,16 +114,7 @@ def pack_bvh(bvh: BVH) -> PackedBVH:
         node_rec = jnp.concatenate([node_rec, jnp.zeros((pad, 8), jnp.float32)])
     nodes = node_rec.reshape(rows_n, NODES_PER_ROW * 8)
 
-    p = bvh.tri_v0.shape[0]
-    tid_f = (bvh.tri_id + 1).astype(jnp.float32)  # 0 == padding
-    tri_rec = jnp.concatenate(
-        [bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, tid_f[:, None]], axis=1
-    )  # [P, 10]
-    rows_t = -(-p // LEAF_SIZE)
-    tri_rows = tri_rec.reshape(rows_t, LEAF_SIZE * 10)
-    tris = jnp.concatenate(
-        [tri_rows, jnp.zeros((rows_t, 128 - LEAF_SIZE * 10), jnp.float32)], axis=1
-    )
+    tris = pack_tri_rows(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, bvh.tri_id)
     return PackedBVH(nodes=nodes, tris=tris, n_leaves=bvh.n_leaves)
 
 

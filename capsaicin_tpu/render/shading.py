@@ -53,8 +53,18 @@ def fetch_hit_attributes(scene, prim, u, v):
     (1-u-v, u, v); the normal is normalized after interpolation. Uses the
     flattened triangle SoA (identical values to the pooled indexed fetch).
     """
+    import jax
+
     p = jnp.clip(prim, 0, scene.tri_v0.shape[0] - 1)
-    attr = _tri_attr_table(scene)[p]
+    table = _tri_attr_table(scene)
+    n_tris = table.shape[0]
+    if jax.default_backend() == "tpu" and n_tris <= 128 and p.ndim == 1:
+        # small scenes: one-hot MXU lookup beats the row gather ~10x
+        from ..ops.pallas_lookup import table_lookup
+
+        attr = table_lookup(table, p)
+    else:
+        attr = table[p]
     w = (1.0 - u - v)[..., None]
     uu = u[..., None]
     vv = v[..., None]

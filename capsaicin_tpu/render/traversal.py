@@ -78,6 +78,11 @@ def build_accel(scene, mode: str):
     the BLAS/TLAS-build analog (blas_system.cpp / tlas_system.cpp)."""
     import jax
 
+    if mode == "static":
+        from ..ops import pallas_static
+
+        tris = jnp.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1)
+        return pallas_static.build_static(tris)
     if mode != "bvh":
         return None
     tris = jnp.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1)
@@ -92,6 +97,16 @@ def build_accel(scene, mode: str):
 
 def resolve_mode(mode: str, num_triangles: int) -> str:
     if mode == "auto":
+        import jax
+
+        if jax.default_backend() == "tpu":
+            # Pallas kernels beat the jnp paths on TPU across the board:
+            # tiny scenes use the fully-static unrolled kernel (no control
+            # flow at all); everything else the packet-traversal BVH (103 vs
+            # 47 Mrays/s on the 40-tri Cornell box vs the brute tile kernel).
+            from ..ops.pallas_static import MAX_STATIC_TRIS
+
+            return "static" if num_triangles <= MAX_STATIC_TRIS else "bvh"
         return "brute" if num_triangles <= AUTO_BVH_THRESHOLD else "bvh"
     return mode
 
@@ -100,6 +115,16 @@ def make_traversal(scene, mode: str, bvh=None):
     mode = resolve_mode(mode, scene.tri_v0.shape[0])
     if mode == "brute":
         return make_brute_force(scene)
+    if mode == "static":
+        from ..ops import pallas_static
+
+        def closest(origins, dirs, tmin, tmax):
+            return pallas_static.static_closest(bvh, origins, dirs, tmin, tmax)
+
+        def any_hit(origins, dirs, tmin, tmax):
+            return pallas_static.static_any(bvh, origins, dirs, tmin, tmax)
+
+        return closest, any_hit
     if mode == "bvh":
         if bvh is None:
             raise ValueError("bvh traversal requested but no BVH was built")
