@@ -48,24 +48,31 @@ PACKET = 1024  # rays per packet: 8 sublanes x 128 lanes
 SUB = 8
 LANE = 128
 
-LEAF_SIZE = 8  # 8 tris x 10 floats = 80 lanes per leaf row (small kernel body)
+LEAF_SIZE = 8  # 8 tris x 10 floats = 80 lanes/row. Do NOT widen: a 12-wide
+# unrolled leaf body crosses the vector-register spill cliff and runs ~80x
+# slower (measured on v5e).
 TRIS_PER_ROW = LEAF_SIZE
 NODES_PER_ROW = 16  # 16 nodes x 8 floats = 128 lanes
+# VMEM cap per sub-tree: tris rows*512B + nodes. Scenes above this are split
+# into morton-ordered chunks, each with its own VMEM-resident sub-BVH, traced
+# sequentially and merged (spatially disjoint chunks exit each other's trees
+# in a few steps).
+CHUNK_TRIS_CAP = 150_000
 
 
-def pack_tri_rows(v0, e1, e2, tri_id):
-    """[T,3]x3 + [T] -> [ceil(T/8), 128] rows, tri j at lanes j*10..+10 as
-    (v0 xyz, e1 xyz, e2 xyz, tid+1); 0 id marks padding."""
+def pack_tri_rows(v0, e1, e2, tri_id, per_row: int = TRIS_PER_ROW):
+    """[T,3]x3 + [T] -> [ceil(T/per_row), 128] rows, tri j at lanes
+    j*10..+10 as (v0 xyz, e1 xyz, e2 xyz, tid+1); 0 id marks padding."""
     t = v0.shape[0]
     tid_f = (tri_id + 1).astype(jnp.float32)
     rec = jnp.concatenate([v0, e1, e2, tid_f[:, None]], axis=1)  # [T, 10]
-    rows = -(-t // TRIS_PER_ROW)
-    pad = rows * TRIS_PER_ROW - t
+    rows = -(-t // per_row)
+    pad = rows * per_row - t
     if pad:
         rec = jnp.concatenate([rec, jnp.zeros((pad, 10), jnp.float32)])
-    packed = rec.reshape(rows, TRIS_PER_ROW * 10)
+    packed = rec.reshape(rows, per_row * 10)
     return jnp.concatenate(
-        [packed, jnp.zeros((rows, 128 - TRIS_PER_ROW * 10), jnp.float32)], axis=1
+        [packed, jnp.zeros((rows, 128 - per_row * 10), jnp.float32)], axis=1
     )
 
 
@@ -76,34 +83,80 @@ def _use_interpret():
 @jax.tree_util.register_pytree_node_class
 class PackedBVH:
     """Traversal-ready lane-packed BVH (pytree: arrays are children,
-    n_leaves is static aux data — the kernel needs it at trace time).
+    n_leaves/leaf_size are static aux data — the kernel needs them at
+    trace time).
 
     nodes: [ceil(2L/16), 128] f32 — node k at row k//16, lanes (k%16)*8..+6
            as (min xyz, max xyz); slots 6,7 unused
-    tris:  [ceil(P/8), 128] f32 — leaf row l holds its 8 triangles, tri j
-           at lanes j*10..+10 as (v0 xyz, e1 xyz, e2 xyz, tid+1)
+    tris:  [ceil(P/leaf), 128] f32 — leaf row l holds its triangles, tri j
+           at lanes j*10..+10 as (v0 xyz, e1 xyz, e2 xyz, tid+1); trimmed to
+           the real triangle count (trailing all-padding leaf rows dropped)
     """
 
-    def __init__(self, nodes, tris, n_leaves: int):
+    def __init__(self, nodes, tris, n_leaves: int, leaf_size: int = LEAF_SIZE):
         self.nodes = nodes
         self.tris = tris
         self.n_leaves = n_leaves
+        self.leaf_size = leaf_size
 
     def tree_flatten(self):
-        return (self.nodes, self.tris), self.n_leaves
+        return (self.nodes, self.tris), (self.n_leaves, self.leaf_size)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux)
+        return cls(children[0], children[1], aux[0], aux[1])
 
 
-def build_packed_bvh(tris) -> PackedBVH:
-    """tris [T,3,3] -> packed BVH (leaf size fixed at 12)."""
-    return pack_bvh(build_lbvh(tris, leaf_size=LEAF_SIZE))
+@jax.tree_util.register_pytree_node_class
+class PackedBVHSet:
+    """A list of sub-BVHs over morton-ordered triangle chunks, plus per-chunk
+    local->global triangle id maps packed into the leaf records upstream."""
+
+    def __init__(self, parts):
+        self.parts = tuple(parts)
+
+    def tree_flatten(self):
+        return self.parts, len(self.parts)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children)
 
 
-def pack_bvh(bvh: BVH) -> PackedBVH:
-    assert bvh.leaf_size == LEAF_SIZE, f"packet traversal expects leaf_size={LEAF_SIZE}"
+def build_packed_bvh(tris):
+    """tris [T,3,3] -> PackedBVH, or PackedBVHSet when over the VMEM cap.
+
+    Over-cap scenes are pre-sorted by centroid morton code and chunked so
+    each sub-BVH covers a compact spatial region; sub-tree leaf records carry
+    GLOBAL triangle ids, so results merge by plain min."""
+    t = tris.shape[0]
+    if t <= CHUNK_TRIS_CAP:
+        return pack_bvh(build_lbvh(tris, leaf_size=LEAF_SIZE), n_real_tris=t)
+
+    from .lbvh import morton_codes
+
+    v0, v1, v2 = tris[:, 0], tris[:, 1], tris[:, 2]
+    centroids = (v0 + v1 + v2) / 3.0
+    lo = jnp.min(jnp.minimum(jnp.minimum(v0, v1), v2), axis=0)
+    hi = jnp.max(jnp.maximum(jnp.maximum(v0, v1), v2), axis=0)
+    order = jnp.argsort(morton_codes(centroids, lo, hi)).astype(jnp.int32)
+
+    n_chunks = -(-t // CHUNK_TRIS_CAP)
+    chunk = -(-t // n_chunks)
+    parts = []
+    for c in range(n_chunks):
+        ids = order[c * chunk : min((c + 1) * chunk, t)]
+        sub = build_lbvh(tris[ids], leaf_size=LEAF_SIZE)
+        # remap chunk-local ids to global ids before packing
+        local = sub.tri_id
+        global_ids = jnp.where(local >= 0, ids[jnp.clip(local, 0, None)], -1)
+        sub = sub._replace(tri_id=global_ids)
+        parts.append(pack_bvh(sub, n_real_tris=ids.shape[0]))
+    return PackedBVHSet(parts)
+
+
+def pack_bvh(bvh: BVH, n_real_tris=None) -> PackedBVH:
+    leaf = bvh.leaf_size
     n2 = bvh.nodes_min.shape[0]
     rows_n = -(-n2 // NODES_PER_ROW)
     node_rec = jnp.concatenate(
@@ -114,8 +167,13 @@ def pack_bvh(bvh: BVH) -> PackedBVH:
         node_rec = jnp.concatenate([node_rec, jnp.zeros((pad, 8), jnp.float32)])
     nodes = node_rec.reshape(rows_n, NODES_PER_ROW * 8)
 
-    tris = pack_tri_rows(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, bvh.tri_id)
-    return PackedBVH(nodes=nodes, tris=tris, n_leaves=bvh.n_leaves)
+    tris = pack_tri_rows(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, bvh.tri_id, leaf)
+    if n_real_tris is not None:
+        # drop trailing all-padding leaf rows (morton padding is appended at
+        # the end); the kernel clamps leaf row indices
+        rows_real = max(1, -(-int(n_real_tris) // leaf))
+        tris = tris[:rows_real]
+    return PackedBVH(nodes=nodes, tris=tris, n_leaves=bvh.n_leaves, leaf_size=leaf)
 
 
 def pack_rays_tiled(origins, dirs, tmin, tmax):
@@ -148,7 +206,7 @@ def _dfs_next_scalar(k):
 
 
 def _traverse_kernel(
-    n_leaves, tri_rows, any_hit,
+    n_leaves, tri_rows, leaf_size, any_hit,
     rays_ref, nodes_ref, tris_ref,
     t_out, u_out, v_out, p_out,
 ):
@@ -171,8 +229,10 @@ def _traverse_kernel(
 
     lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
 
+    max_steps = 8 * n_leaves + 64  # full DFS bound (safety cap)
+
     def body(state):
-        k, t_best, u, v, prim = state
+        step, k, t_best, u, v, prim = state
         # any-hit lanes retire once prim is latched (prim >= 0)
         live = (prim < 0) if any_hit else True
 
@@ -211,7 +271,7 @@ def _traverse_kernel(
             t_best, u, v, prim = carry
             leaf = jnp.minimum(k - n_leaves, tri_rows - 1)
             trow = tris_ref[leaf, :]  # [128]; in-row lanes are static below
-            for j in range(LEAF_SIZE):
+            for j in range(leaf_size):
                 b = j * 10
                 v0x, v0y, v0z = trow[b], trow[b + 1], trow[b + 2]
                 e1x, e1y, e1z = trow[b + 3], trow[b + 4], trow[b + 5]
@@ -257,23 +317,24 @@ def _traverse_kernel(
 
         descend = any_box & (~is_leaf)
         k = jnp.where(descend, 2 * k, _dfs_next_scalar(k))
-        return k, t_best, u, v, prim
+        return step + 1, k, t_best, u, v, prim
 
     def cond(state):
-        k = state[0]
-        more = k > 1
+        step, k = state[0], state[1]
+        more = (k > 1) & (step < max_steps)
         if any_hit:
-            more = more & jnp.any(state[4] < 0)
+            more = more & jnp.any(state[5] < 0)
         return more
 
     init = (
+        jnp.int32(0),
         jnp.int32(2),  # the root box always contains the scene; start below
         tmax,
         jnp.zeros((SUB, LANE), jnp.float32),
         jnp.zeros((SUB, LANE), jnp.float32),
         jnp.full((SUB, LANE), -1, jnp.int32),
     )
-    k, t_best, u, v, prim = jax.lax.while_loop(cond, body, init)
+    _, k, t_best, u, v, prim = jax.lax.while_loop(cond, body, init)
     t_out[0, 0] = t_best
     u_out[0, 0] = u
     v_out[0, 0] = v
@@ -283,7 +344,8 @@ def _traverse_kernel(
 def _run(packed: PackedBVH, rays_tiled, any_hit: bool):
     np_ = rays_tiled.shape[0]
     kernel = functools.partial(
-        _traverse_kernel, packed.n_leaves, packed.tris.shape[0], any_hit
+        _traverse_kernel, packed.n_leaves, packed.tris.shape[0],
+        packed.leaf_size, any_hit,
     )
     f32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.float32)
     i32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.int32)
@@ -307,7 +369,19 @@ def _untile(x, n):
     return x.reshape(-1)[:n]
 
 
-def bvh_closest(packed: PackedBVH, origins, dirs, tmin=0.0, tmax=1e6):
+def bvh_closest(packed, origins, dirs, tmin=0.0, tmax=1e6):
+    if isinstance(packed, PackedBVHSet):
+        best = None
+        for part in packed.parts:
+            cur = bvh_closest(part, origins, dirs, tmin, tmax)
+            if best is None:
+                best = cur
+            else:
+                closer = cur["t"] < best["t"]
+                best = {
+                    k: jnp.where(closer, cur[k], best[k]) for k in best
+                }
+        return best
     rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
     t, u, v, prim = _run(packed, rays, any_hit=False)
     return {
@@ -318,7 +392,13 @@ def bvh_closest(packed: PackedBVH, origins, dirs, tmin=0.0, tmax=1e6):
     }
 
 
-def bvh_any(packed: PackedBVH, origins, dirs, tmin=1e-4, tmax=1e6):
+def bvh_any(packed, origins, dirs, tmin=1e-4, tmax=1e6):
+    if isinstance(packed, PackedBVHSet):
+        hit = None
+        for part in packed.parts:
+            cur = bvh_any(part, origins, dirs, tmin, tmax)
+            hit = cur if hit is None else (hit | cur)
+        return hit
     rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
     t, u, v, prim = _run(packed, rays, any_hit=True)
     return _untile(prim, n) >= 0

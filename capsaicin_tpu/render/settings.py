@@ -40,10 +40,10 @@ class RenderOptions:
     taa: bool = True
     num_diffuse_bounces: int = 1  # 0..5 (gui_system.cpp:74)
     output: int = OUTPUT_COMBINED
-    sort_bounce_rays: bool = False  # morton/octant-sort bounce rays before
-    # BVH traversal (wavefront ray reordering). Off by default: the sort's
-    # permutation gathers cost ~17ns/index each way, which only pays off for
-    # large scenes where packet divergence dominates.
+    sort_bounce_rays: bool = True  # morton/octant-sort bounce rays before
+    # BVH traversal (wavefront ray reordering). Essential for packet
+    # traversal: unsorted bounce packets visit near the whole tree. Small
+    # scenes use the static kernel and ignore this.
     use_material_kd: bool = False  # extension: use MTL Kd for untextured
     # meshes instead of the reference's constant 0.75 (scene.h:56-58)
     history_dtype: str = "float32"  # "float16" mirrors the RGBA16F history

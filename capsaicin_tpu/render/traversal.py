@@ -54,7 +54,7 @@ def make_brute_force(scene):
 def make_bvh(scene, bvh):
     from ..ops import pallas_traverse, traverse
 
-    if isinstance(bvh, pallas_traverse.PackedBVH):
+    if isinstance(bvh, (pallas_traverse.PackedBVH, pallas_traverse.PackedBVHSet)):
         # packet-traversal Pallas kernel (TPU production path)
         def closest(origins, dirs, tmin, tmax):
             return pallas_traverse.bvh_closest(bvh, origins, dirs, tmin, tmax)
@@ -90,7 +90,7 @@ def build_accel(scene, mode: str):
 
     # The packet kernel needs the whole scene VMEM-resident (~300k tris);
     # bigger scenes (or non-TPU backends) use the XLA lockstep traversal.
-    if jax.default_backend() == "tpu" and tris.shape[0] <= 300_000:
+    if jax.default_backend() == "tpu":
         return pallas_traverse.build_packed_bvh(tris)
     return lbvh.build_lbvh(tris)
 

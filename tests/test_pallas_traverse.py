@@ -63,3 +63,27 @@ def test_ray_sort_is_permutation(rng):
     inverse = np.asarray(inverse)
     assert sorted(order.tolist()) == list(range(2048))
     np.testing.assert_array_equal(order[inverse], np.arange(2048))
+
+
+def test_split_tree_set(rng, monkeypatch):
+    """Over-cap scenes split into sub-BVHs that merge to the oracle result."""
+    from capsaicin_tpu.ops import pallas_traverse as pt2
+
+    monkeypatch.setattr(pt2, "CHUNK_TRIS_CAP", 64)
+    base = rng.uniform(-3, 3, size=(200, 1, 3))
+    tris = jnp.asarray((base + rng.uniform(-0.5, 0.5, size=(200, 3, 3))).astype(np.float32))
+    packed = pt2.build_packed_bvh(tris)
+    assert isinstance(packed, pt2.PackedBVHSet)
+    assert len(packed.parts) == 4
+    o, d = _rays(rng, 512, spread=4.0)
+    got = pt2.bvh_closest(packed, o, d)
+    want = intersect.brute_force_closest(o, d, tris)
+    gp, wp = np.asarray(got["prim"]), np.asarray(want["prim"])
+    same = gp == wp
+    if not same.all():
+        np.testing.assert_allclose(
+            np.asarray(got["t"])[~same], np.asarray(want["t"])[~same], rtol=1e-4
+        )
+    got_any = np.asarray(pt2.bvh_any(packed, o, d))
+    want_any = np.asarray(intersect.brute_force_any(o, d, tris))
+    np.testing.assert_array_equal(got_any, want_any)
