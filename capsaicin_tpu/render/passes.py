@@ -172,6 +172,7 @@ def indirect_gi(
     frame_count,
     options: RenderOptions,
     closest_bounce_fn=None,
+    any_bounce_fn=None,
 ):
     """Iterative path loop restructured as a wavefront over all pixels with
     lane masking (rt_indirect.hlsl:42-175). Rays for every pixel advance in
@@ -281,7 +282,8 @@ def indirect_gi(
                 nee_mask = active
             else:
                 nee_mask = active
-            shadow_hit = any_fn(p, ldir, shading.SHADOW_TMIN, shading.LIGHT_DISTANCE)
+            bounce_any = any_bounce_fn or any_fn
+            shadow_hit = bounce_any(p, ldir, shading.SHADOW_TMIN, shading.LIGHT_DISTANCE)
             add = jnp.where((nee_mask & ~shadow_hit)[..., None], throughput * unshadowed, 0.0)
             color = color + add
 

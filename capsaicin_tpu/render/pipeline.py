@@ -84,6 +84,7 @@ def render_frame(
     options: RenderOptions,
     collect_aux: bool = False,
     closest_bounce_fn: Callable = None,
+    any_bounce_fn: Callable = None,
 ):
     """One full frame. Returns (display_rgb [H,W,3] gamma-encoded,
     new FrameState[, PassOutputs])."""
@@ -119,6 +120,7 @@ def render_frame(
         frame_count,
         options,
         closest_bounce_fn=closest_bounce_fn,
+        any_bounce_fn=any_bounce_fn,
     )
 
     # 4. spatial gather

@@ -105,14 +105,16 @@ class RenderSession:
 
         def step(scene, bvh, camera, state, settings, noise):
             closest, any_hit = make_traversal(scene, mode, bvh)
-            bounce = None
+            bounce = bounce_any = None
             if mode == "bvh" and options.sort_bounce_rays:
-                from .traversal import with_ray_sorting
+                from .traversal import with_ray_sorting, with_ray_sorting_any
 
                 bounce = with_ray_sorting(closest)
+                bounce_any = with_ray_sorting_any(any_hit)
             return pipeline.render_frame(
                 scene, closest, any_hit, camera, state, settings, noise,
-                width, height, options, closest_bounce_fn=bounce,
+                width, height, options,
+                closest_bounce_fn=bounce, any_bounce_fn=bounce_any,
             )
 
         return jax.jit(step, donate_argnums=(3,))

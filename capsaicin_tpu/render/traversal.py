@@ -148,3 +148,15 @@ def with_ray_sorting(closest_fn):
         return {k: v[inverse] for k, v in out.items()}
 
     return sorted_closest
+
+
+def with_ray_sorting_any(any_fn):
+    """Sorting wrapper for any-hit queries (bounce NEE shadow rays have
+    scattered origins; sorting by origin morton keeps packets compact)."""
+    from ..ops.pallas_traverse import sort_rays_for_traversal
+
+    def sorted_any(origins, dirs, tmin, tmax):
+        order, inverse = sort_rays_for_traversal(origins, dirs)
+        return any_fn(origins[order], dirs[order], tmin, tmax)[inverse]
+
+    return sorted_any
