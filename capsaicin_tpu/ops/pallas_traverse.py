@@ -17,7 +17,7 @@ diverges hardest from a GPU port):
     tables are packed 128 floats per row with zero padding waste:
       nodes: 16 nodes x 8 floats per row; the in-row slot is extracted with
              a one-hot lane reduction (the slot is dynamic)
-      tris:  12 triangles x 10 floats per row == one BVH leaf; in-row lanes
+      tris:  8 triangles x 10 floats per row == one BVH leaf; in-row lanes
              are STATIC (the unrolled leaf loop), so extraction is free
     Triangle ids ride along as floats (exact below 2^24).
   * The DFS successor is the same trailing-ones arithmetic as
@@ -25,8 +25,9 @@ diverges hardest from a GPU port):
   * Any-hit packets retire lanes at first hit and exit when every lane is
     done (RAY_FLAG_ACCEPT_FIRST_HIT analog, lighting.h:48-55).
 
-Capacity: ~300k triangles (tris ~43B each + nodes 32B/node) fits the ~16MB
-VMEM budget; larger scenes fall back to ops.traverse. Semantics match
+Capacity: ~150k triangles per VMEM-resident sub-tree; bigger scenes are
+split into morton-ordered chunks (PackedBVHSet) traced sequentially and
+merged. Semantics match
 ops.intersect exactly (same epsilons, no backface culling); tests assert
 equality against the brute-force oracle.
 """

@@ -171,8 +171,11 @@ def render_frame(
     else:
         combined_out = combined
 
-    # 9. composite: gamma for display (simple.hlsl:46); history stays linear
-    display = jnp.power(jnp.clip(combined_out, 0.0, None), 1.0 / 2.2)
+    # 9. composite: exposure + gamma for display (simple.hlsl:46 adds only
+    # the gamma; exposure is our extension, default 1.0); history stays linear
+    display = jnp.power(
+        jnp.clip(combined_out * settings.exposure, 0.0, None), 1.0 / 2.2
+    )
 
     dtype = jnp.dtype(options.history_dtype)
     new_state = FrameState(

@@ -60,6 +60,8 @@ class Settings(NamedTuple):
     gather_luma_sigma: jnp.ndarray
     temporal_upscale_feedback: jnp.ndarray
     taa_feedback: jnp.ndarray
+    exposure: jnp.ndarray  # display-only scale before gamma (extension;
+    # 1.0 == reference behavior, which has no exposure control)
 
 
 def default_settings() -> Settings:
@@ -72,4 +74,5 @@ def default_settings() -> Settings:
         gather_luma_sigma=jnp.float32(3.0),
         temporal_upscale_feedback=jnp.float32(0.975),
         taa_feedback=jnp.float32(0.9),
+        exposure=jnp.float32(1.0),
     )

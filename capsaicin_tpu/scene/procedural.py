@@ -169,18 +169,23 @@ def colonnade(target_tris: int = 250_000, seed: int = 42) -> List[MeshData]:
     m_stone = Material("stone", kd=(0.6, 0.58, 0.55))
     meshes: List[MeshData] = []
 
-    # floor + walls: a big room 40 x 8 x 20
+    # floor + walls: an open-air hall 40 x 8 x 20 (no roof — the engine's
+    # only light is the directional sun, lighting.h:20-33)
     room = MeshData(name="room")
     room.material = m_stone
     _quad(room, (-20, 0, -10), (20, 0, -10), (20, 0, 10), (-20, 0, 10), (0, 1, 0))
-    _quad(room, (-20, 8, 10), (20, 8, 10), (20, 8, -10), (-20, 8, -10), (0, -1, 0))
     _quad(room, (-20, 0, 10), (20, 0, 10), (20, 8, 10), (-20, 8, 10), (0, 0, -1))
     _quad(room, (-20, 0, -10), (-20, 8, -10), (20, 8, -10), (20, 0, -10), (0, 0, 1))
     _quad(room, (-20, 0, -10), (-20, 0, 10), (-20, 8, 10), (-20, 8, -10), (1, 0, 0))
     _quad(room, (20, 0, -10), (20, 8, -10), (20, 8, 10), (20, 0, 10), (-1, 0, 0))
     meshes.append(room)
 
-    budget = target_tris - 12
+    budget = target_tris - 10
+    # roof beams: shadow stripes across the hall (the sun is the only light)
+    for k in range(13):
+        x = -18 + k * 3.0
+        meshes.append(_box(f"beam{k}", m_stone, (x, 7.8, 0), (1.6, 0.4, 20.0)))
+        budget -= 12
     # columns: boxes are cheap (12 tris); spheres carry the triangle count
     for k in range(16):
         x = -18 + (k % 8) * 5.0
@@ -190,12 +195,17 @@ def colonnade(target_tris: int = 250_000, seed: int = 42) -> List[MeshData]:
 
     sphere_tris = 2 * 48 * 48
     n_spheres = max(1, budget // sphere_tris)
-    for k in range(n_spheres):
+    placed = 0
+    while placed < n_spheres:
         x = float(rng.uniform(-18, 18))
         z = float(rng.uniform(-8, 8))
+        # keep the camera corner clear (camera_preset "colonnade")
+        if x < -12 and z < -4:
+            continue
         r = float(rng.uniform(0.4, 1.1))
         y = float(rng.uniform(r, 6.0))
-        meshes.append(_uv_sphere(f"sphere{k}", m_stone, (x, y, z), r, 48, 48))
+        meshes.append(_uv_sphere(f"sphere{placed}", m_stone, (x, y, z), r, 48, 48))
+        placed += 1
     return meshes
 
 
@@ -259,14 +269,14 @@ def camera_preset(name: str = "cornell"):
             focal_length=0.040,
         )
     if name == "colonnade":
-        f = np.array([0.9, -0.12, 0.42])
+        f = np.array([0.85, -0.22, 0.48])
         f = f / np.linalg.norm(f)
         up0 = np.array([0.0, 1.0, 0.0])
         r = np.cross(up0, f)
         r /= np.linalg.norm(r)
         u = np.cross(f, r)
         return dict(
-            position=jnp.array([-17.0, 3.0, -7.0], jnp.float32),
+            position=jnp.array([-17.5, 6.0, -7.5], jnp.float32),
             right=jnp.asarray(r, jnp.float32),
             forward=jnp.asarray(f, jnp.float32),
             up=jnp.asarray(u, jnp.float32),

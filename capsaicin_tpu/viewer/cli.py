@@ -66,6 +66,8 @@ def main(argv=None):
     ap.add_argument("--lowres-indirect", action="store_true")
     ap.add_argument("--no-denoise", action="store_true")
     ap.add_argument("--no-taa", action="store_true")
+    ap.add_argument("--exposure", type=float, default=None,
+                    help="display exposure scale (default 1; colonnade auto-uses 0.2)")
     ap.add_argument("--out", default="render.png")
     ap.add_argument("--timings", action="store_true", help="print per-pass timings")
     ap.add_argument("--web", action="store_true", help="interactive web viewer")
@@ -73,6 +75,13 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     session = build_session(args)
+    exposure = args.exposure
+    if exposure is None and args.scene == "colonnade":
+        exposure = 0.2  # the open-air sun otherwise saturates the display
+    if exposure is not None:
+        import jax.numpy as jnp
+
+        session.settings = session.settings._replace(exposure=jnp.float32(exposure))
 
     if args.web:
         from .web import serve

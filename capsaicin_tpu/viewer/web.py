@@ -91,6 +91,7 @@ _KNOBS = {
     "gather_luma_sigma": (0.1, 10.0, 0.1),
     "temporal_upscale_feedback": (0.0, 1.0, 0.005),
     "taa_feedback": (0.0, 1.0, 0.005),
+    "exposure": (0.01, 4.0, 0.01),
 }
 
 
