@@ -1,0 +1,447 @@
+"""Pallas TPU kernels: edge-aware stencil filters (EAW blur chain + spatial
+gather).
+
+The reference implements these as 8x8-thread-group compute shaders
+(eaw_blur.hlsl, spatial_gather.hlsl). The jnp formulation (roll + mask per
+tap) makes XLA materialize a full [H,W,C] temporary per tap — at 1080p the
+4-stage EAW chain alone costs ~54 ms, all of it HBM bandwidth. These kernels
+read each row tile into VMEM ONCE and synthesize all 25/49 taps from on-chip
+data: lane rolls for column offsets, sublane slices of a multi-tile row
+window for row offsets.
+
+Layout: planar [C, rows, Wp] f32.
+  * columns: zero-padded 64 left + >=64 right so Wp % 128 == 0; max tap
+    offset is 14, so lane-roll wraparound never reaches image columns, and
+    zero depth in the pads excludes pad taps exactly like the jnp masks
+    (the valid mask there is `in-bounds AND d_tap >= 1e-5`; zero-padded
+    depth makes the second conjunct imply the first).
+  * rows: height padded to a TILE multiple, plus PAD_BLOCKS zero tiles above
+    and below; grid step i reads blocks i .. i+2*n_side of the same array —
+    the row window. n_side = ceil(max row offset / TILE), so a stride-7
+    5x5 blur (offset 14) reads 5 tiles, a 7x7 (offset 3) reads 3.
+  * TILE is 8 rows: the full window set must fit the 16 MB VMEM including
+    pallas' double buffering (measured: 16-row tiles with 3-block windows
+    OOM at 20 MB).
+
+Weight math matches ops.mathops / passes.py exactly (eaw_edge_stopping.h,
+eaw_blur.hlsl:48-223, spatial_gather.hlsl); tests assert equality against
+the jnp path to fp tolerance.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 8  # row tile
+PAD_BLOCKS = 2  # zero tiles above/below = max n_side (stride-7 blur)
+COL_PAD = 64
+EPS = 1e-8
+FIREFLY_CLAMP = 10.0
+SPATIAL_VARIANCE_THRESHOLD = 8.0
+_EAW_KW = (1.0, 2.0 / 3.0, 1.0 / 6.0)  # eaw_blur.hlsl:76
+
+
+def _use_interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _n_side(max_row_offset: int) -> int:
+    return -(-max_row_offset // TILE)
+
+
+def _col_pad_right(width: int) -> int:
+    return COL_PAD + ((-width - 2 * COL_PAD) % 128)
+
+
+def to_planar(channels, height: int, width: int):
+    """List of [H,W] planes -> padded planar
+    [C, PAD_BLOCKS*TILE + Hp + PAD_BLOCKS*TILE, Wp]."""
+    img = jnp.stack(channels, axis=0)  # [C, H, W]
+    hp = -(-height // TILE) * TILE
+    pr = _col_pad_right(width)
+    pad = PAD_BLOCKS * TILE
+    return jnp.pad(
+        img,
+        ((0, 0), (pad, pad + hp - height), (COL_PAD, pr)),
+        mode="constant",
+    )
+
+
+def repad_rows(planar_out):
+    """Kernel output [C, Hp, Wp] -> chain input with row pads restored."""
+    pad = PAD_BLOCKS * TILE
+    return jnp.pad(planar_out, ((0, 0), (pad, pad), (0, 0)), mode="constant")
+
+
+def from_planar(planar_out, height: int, width: int):
+    """Kernel output [C, Hp, Wp] -> list of [H, W] planes."""
+    img = planar_out[:, :height, COL_PAD : COL_PAD + width]
+    return [img[c] for c in range(img.shape[0])]
+
+
+def _roll_cols(x, dxt: int):
+    """Circular lane shift so out[..., c] = x[..., c + dxt]; pltpu.roll
+    requires a non-negative shift, so negate modulo the lane count."""
+    if dxt == 0:
+        return x
+    return pltpu.roll(x, (-dxt) % x.shape[-1], axis=x.ndim - 1)
+
+
+def _lum(r, g, b):
+    return r * 0.299 + g * 0.587 + b * 0.114
+
+
+def _edge_weights(cn, cd, tn, td, s_normal, s_depth_r):
+    """normal_weight * depth_weight (eaw_edge_stopping.h:4-13)."""
+    ndot = jnp.maximum(cn[0] * tn[0] + cn[1] * tn[1] + cn[2] * tn[2], 0.0)
+    nw = jnp.power(ndot, s_normal)
+    t = jnp.where(
+        s_depth_r == 0.0,
+        0.0,
+        jnp.abs(cd - td) / jnp.where(s_depth_r == 0.0, 1.0, s_depth_r),
+    )
+    return nw * jnp.exp(-t)
+
+
+def _stack(refs):
+    """Concat a window's row blocks [C,TILE,Wp] -> [C, n*TILE, Wp]."""
+    return jnp.concatenate([r[:] for r in refs], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# EAW blur (eaw_blur.hlsl Blur): 5x5 a-trous, variance-guided luma sigma
+
+
+def _eaw_kernel(stride, use_variance, n_side, scal_ref, *refs):
+    nblk = 2 * n_side + 1
+    col_refs = refs[:nblk]
+    geo_refs = refs[nblk : 2 * nblk]
+    out_ref = refs[2 * nblk]
+    s_normal = scal_ref[0, 0]
+    s_depth = scal_ref[0, 1]  # eaw_depth_sigma
+    s_luma = scal_ref[0, 2]
+
+    col3 = _stack(col_refs)
+    geo3 = _stack(geo_refs)
+    # clamp rgb once on the stacked window (taps and center see clamped rgb)
+    col3 = jnp.concatenate(
+        [jnp.minimum(col3[:3], FIREFLY_CLAMP), col3[3:4]], axis=0
+    )
+
+    c0 = n_side * TILE
+    cc = col3[:, c0 : c0 + TILE, :]
+    gc = geo3[:, c0 : c0 + TILE, :]
+    cr, cg, cb, cv = cc[0], cc[1], cc[2], cc[3]
+    cn = (gc[0], gc[1], gc[2])
+    cd = gc[3]
+    cl = _lum(cr, cg, cb)
+    s_l_eff = s_luma * jnp.sqrt(jnp.maximum(0.0, cv + EPS))
+    s_d_base = cd * float(stride) * s_depth
+
+    acc_r = jnp.zeros_like(cr)
+    acc_g = jnp.zeros_like(cr)
+    acc_b = jnp.zeros_like(cr)
+    acc_v = jnp.zeros_like(cr)
+    tw = jnp.zeros_like(cr)
+    # row window sliced once per dy, lane roll per dx on the small window
+    for dy in range(-2, 3):
+        r0 = c0 + dy * stride
+        c_dy = col3[:, r0 : r0 + TILE, :]
+        g_dy = geo3[:, r0 : r0 + TILE, :]
+        for dx in range(-2, 3):
+            ct = _roll_cols(c_dy, dx * stride)
+            gt = _roll_cols(g_dy, dx * stride)
+            td = gt[3]
+            r = float((dx * dx + dy * dy) ** 0.5)
+            w = _edge_weights(cn, cd, (gt[0], gt[1], gt[2]), td,
+                              s_normal, s_d_base * r)
+            if use_variance:
+                l_tap = _lum(ct[0], ct[1], ct[2])
+                lw = jnp.exp(-jnp.abs(cl - l_tap) / s_l_eff)
+                hw = _EAW_KW[abs(dx)] * _EAW_KW[abs(dy)]
+            else:
+                lw = 1.0
+                hw = 1.0
+            valid = td >= 1e-5
+            w_full = jnp.where(valid, w * hw * lw, 0.0)
+            acc_r += w_full * ct[0]
+            acc_g += w_full * ct[1]
+            acc_b += w_full * ct[2]
+            tw += w_full
+            if use_variance:
+                w_sq = jnp.where(valid, (hw * w) ** 2 * lw * lw, 0.0)
+                acc_v += w_sq * ct[3]
+
+    low = tw < EPS
+    inv = 1.0 / jnp.maximum(tw, EPS)
+    out_r = jnp.where(low, cr, acc_r * inv)
+    out_g = jnp.where(low, cg, acc_g * inv)
+    out_b = jnp.where(low, cb, acc_b * inv)
+    if use_variance:
+        out_v = jnp.where(low, cv, acc_v * inv * inv)
+    else:
+        out_v = jnp.where(low, cv, acc_v)
+    background = cd < 1e-5
+    out_ref[0] = jnp.where(background, cr, out_r)
+    out_ref[1] = jnp.where(background, cg, out_g)
+    out_ref[2] = jnp.where(background, cb, out_b)
+    out_ref[3] = jnp.where(background, cv, out_v)
+
+
+# ---------------------------------------------------------------------------
+# EAW disocclusion blur (eaw_blur.hlsl BlurDisocclusion): 7x7 + spatial
+# variance estimate where history < 8 frames
+
+
+def _disocc_kernel(n_side, scal_ref, *refs):
+    nblk = 2 * n_side + 1
+    col_refs = refs[:nblk]
+    geo_refs = refs[nblk : 2 * nblk]
+    mom_refs = refs[2 * nblk : 3 * nblk]
+    out_ref = refs[3 * nblk]
+    s_normal = scal_ref[0, 0]
+    s_depth = scal_ref[0, 1]
+    s_luma = scal_ref[0, 2]
+
+    col3 = _stack(col_refs)
+    geo3 = _stack(geo_refs)
+    mom3 = _stack(mom_refs)
+    col3 = jnp.concatenate(
+        [jnp.minimum(col3[:3], FIREFLY_CLAMP), col3[3:4]], axis=0
+    )
+
+    c0 = n_side * TILE
+    cc = col3[:, c0 : c0 + TILE, :]
+    gc = geo3[:, c0 : c0 + TILE, :]
+    mc = mom3[:, c0 : c0 + TILE, :]
+    cr, cg, cb, cv = cc[0], cc[1], cc[2], cc[3]
+    cn = (gc[0], gc[1], gc[2])
+    cd = gc[3]
+    hist_len = mc[2]
+    cl = _lum(cr, cg, cb)
+    s_d_base = cd * s_depth
+
+    acc_r = jnp.zeros_like(cr)
+    acc_g = jnp.zeros_like(cr)
+    acc_b = jnp.zeros_like(cr)
+    acc_m1 = jnp.zeros_like(cr)
+    acc_m2 = jnp.zeros_like(cr)
+    tw = jnp.zeros_like(cr)
+    for dy in range(-3, 4):
+        r0 = c0 + dy
+        c_dy = col3[:, r0 : r0 + TILE, :]
+        g_dy = geo3[:, r0 : r0 + TILE, :]
+        m_dy = mom3[:, r0 : r0 + TILE, :]
+        for dx in range(-3, 4):
+            ct = _roll_cols(c_dy, dx)
+            gt = _roll_cols(g_dy, dx)
+            mt = _roll_cols(m_dy, dx)
+            td = gt[3]
+            r = float((dx * dx + dy * dy) ** 0.5)
+            w = _edge_weights(cn, cd, (gt[0], gt[1], gt[2]), td,
+                              s_normal, s_d_base * r)
+            l_tap = _lum(ct[0], ct[1], ct[2])
+            lw = jnp.exp(-jnp.abs(cl - l_tap) / s_luma)
+            w_full = jnp.where(td >= 1e-5, w * lw, 0.0)
+            acc_r += w_full * ct[0]
+            acc_g += w_full * ct[1]
+            acc_b += w_full * ct[2]
+            acc_m1 += w_full * mt[0]
+            acc_m2 += w_full * mt[1]
+            tw += w_full
+
+    low = tw < EPS
+    inv = 1.0 / jnp.maximum(tw, EPS)
+    f_r = jnp.where(low, cr, acc_r * inv)
+    f_g = jnp.where(low, cg, acc_g * inv)
+    f_b = jnp.where(low, cb, acc_b * inv)
+    f_m1 = jnp.where(low, 0.0, acc_m1 * inv)
+    f_m2 = jnp.where(low, 0.0, acc_m2 * inv)
+    boost = SPATIAL_VARIANCE_THRESHOLD / jnp.maximum(hist_len, 1e-5)
+    f_v = boost * jnp.abs(f_m2 - f_m1 * f_m1)
+
+    passthrough = (cd < 1e-5) | (hist_len >= SPATIAL_VARIANCE_THRESHOLD)
+    out_ref[0] = jnp.where(passthrough, cr, f_r)
+    out_ref[1] = jnp.where(passthrough, cg, f_g)
+    out_ref[2] = jnp.where(passthrough, cb, f_b)
+    out_ref[3] = jnp.where(passthrough, cv, f_v)
+
+
+# ---------------------------------------------------------------------------
+# Spatial gather (spatial_gather.hlsl): 7x7 cross-bilateral on raw indirect
+
+
+def _gather_kernel(n_side, scal_ref, *refs):
+    nblk = 2 * n_side + 1
+    col_refs = refs[:nblk]
+    geo_refs = refs[nblk : 2 * nblk]
+    out_ref = refs[2 * nblk]
+    s_normal = scal_ref[0, 0]
+    s_depth = scal_ref[0, 1]
+    s_luma = scal_ref[0, 2]
+
+    col3 = _stack(col_refs)
+    geo3 = _stack(geo_refs)
+
+    c0 = n_side * TILE
+    cc = col3[:, c0 : c0 + TILE, :]
+    gc = geo3[:, c0 : c0 + TILE, :]
+    cr, cg, cb = cc[0], cc[1], cc[2]
+    cn = (gc[0], gc[1], gc[2])
+    cd = gc[3]
+    cl = _lum(cr, cg, cb)
+    s_d_base = cd * s_depth
+
+    acc_r = jnp.zeros_like(cr)
+    acc_g = jnp.zeros_like(cr)
+    acc_b = jnp.zeros_like(cr)
+    tw = jnp.zeros_like(cr)
+    for dy in range(-3, 4):
+        r0 = c0 + dy
+        c_dy = col3[:, r0 : r0 + TILE, :]
+        g_dy = geo3[:, r0 : r0 + TILE, :]
+        for dx in range(-3, 4):
+            ct = _roll_cols(c_dy, dx)
+            gt = _roll_cols(g_dy, dx)
+            td = gt[3]
+            r = float((dx * dx + dy * dy) ** 0.5)
+            w = _edge_weights(cn, cd, (gt[0], gt[1], gt[2]), td,
+                              s_normal, s_d_base * r)
+            l_tap = _lum(ct[0], ct[1], ct[2])
+            lw = jnp.exp(-jnp.abs(cl - l_tap) / s_luma)
+            w_full = jnp.where(td >= 1e-5, w * lw, 0.0)
+            acc_r += w_full * ct[0]
+            acc_g += w_full * ct[1]
+            acc_b += w_full * ct[2]
+            tw += w_full
+
+    low = tw < EPS
+    inv = 1.0 / jnp.maximum(tw, EPS)
+    out_r = jnp.where(low, cr, acc_r * inv)
+    out_g = jnp.where(low, cg, acc_g * inv)
+    out_b = jnp.where(low, cb, acc_b * inv)
+    background = cd < 1e-5
+    out_ref[0] = jnp.where(background, cr, out_r)
+    out_ref[1] = jnp.where(background, cg, out_g)
+    out_ref[2] = jnp.where(background, cb, out_b)
+
+
+# ---------------------------------------------------------------------------
+# Runners
+
+
+def _run(kernel, scal, planars, out_channels: int, n_side: int):
+    """planars: padded planar arrays [C_i, PAD*TILE + Hp + PAD*TILE, Wp];
+    runs the kernel over row tiles, giving it the 2*n_side+1 row blocks
+    around each output tile for every input. Returns [out_channels, Hp, Wp].
+    """
+    assert n_side <= PAD_BLOCKS
+    rows = planars[0].shape[1]
+    wp = planars[0].shape[2]
+    hp = rows - 2 * PAD_BLOCKS * TILE
+    nb = hp // TILE
+    base = PAD_BLOCKS - n_side  # first row block of the window for i=0
+
+    in_specs = [pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM)]
+    args = [scal]
+    for p in planars:
+        c = p.shape[0]
+        for off in range(2 * n_side + 1):
+            in_specs.append(
+                pl.BlockSpec(
+                    (c, TILE, wp),
+                    functools.partial(lambda i, o: (0, i + o, 0), o=base + off),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            args.append(p)
+
+    out_spec = pl.BlockSpec(
+        (out_channels, TILE, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((out_channels, hp, wp), jnp.float32),
+        interpret=_use_interpret(),
+    )(*args)
+
+
+def _scal(*vals):
+    return jnp.stack(
+        [jnp.asarray(v, jnp.float32) for v in vals]
+        + [jnp.float32(0.0)] * (8 - len(vals))
+    ).reshape(1, 8)
+
+
+def pack_geo(nd_normal, nd_depth, height: int, width: int):
+    """Decoded normals [H,W,3] + depth [H,W] -> padded geo planar [4,...]."""
+    return to_planar(
+        [nd_normal[..., 0], nd_normal[..., 1], nd_normal[..., 2], nd_depth],
+        height, width,
+    )
+
+
+def eaw_blur_planar(col_planar, geo_planar, stride: int, use_variance: bool,
+                    s_normal, s_depth, s_luma):
+    """One Blur dispatch at planar level: col_planar is the padded [4,...]
+    (rgb, var). Returns the unpadded planar output [4, Hp, Wp]."""
+    n_side = _n_side(2 * stride)
+    kernel = functools.partial(_eaw_kernel, stride, use_variance, n_side)
+    return _run(kernel, _scal(s_normal, s_depth, s_luma),
+                [col_planar, geo_planar], 4, n_side)
+
+
+def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options):
+    """The full EAW chain (disocclusion + strides 1,3[,5,7]),
+    raytracing_system.cpp:1437-1539, in planar space with one packing and
+    one unpacking. Equals the jnp passes.denoise to fp tolerance."""
+    height, width = color4.shape[:2]
+    geo = pack_geo(nd_normal, nd_depth, height, width)
+    col = to_planar(
+        [color4[..., 0], color4[..., 1], color4[..., 2], color4[..., 3]],
+        height, width,
+    )
+    mom = to_planar(
+        [moments4[..., 0], moments4[..., 1], moments4[..., 3]], height, width
+    )
+    scal = _scal(
+        settings.eaw_normal_sigma, settings.eaw_depth_sigma, settings.eaw_luma_sigma
+    )
+    n_side = _n_side(3)
+    out = _run(functools.partial(_disocc_kernel, n_side), scal,
+               [col, geo, mom], 4, n_side)
+    strides = (1, 3, 5, 7) if options.eaw5 else (1, 3)
+    for s in strides:
+        out = eaw_blur_planar(
+            repad_rows(out), geo, s, options.use_variance,
+            settings.eaw_normal_sigma, settings.eaw_depth_sigma,
+            settings.eaw_luma_sigma,
+        )
+    planes = from_planar(out, height, width)
+    return jnp.stack(planes, axis=-1)
+
+
+def spatial_gather(indirect, nd_normal, nd_depth, settings):
+    """7x7 edge-aware cross-bilateral filter (spatial_gather.hlsl)."""
+    height, width = indirect.shape[:2]
+    geo = pack_geo(nd_normal, nd_depth, height, width)
+    col = to_planar(
+        [indirect[..., 0], indirect[..., 1], indirect[..., 2]], height, width
+    )
+    scal = _scal(
+        settings.gather_normal_sigma,
+        settings.gather_depth_sigma,
+        settings.gather_luma_sigma,
+    )
+    n_side = _n_side(3)
+    out = _run(functools.partial(_gather_kernel, n_side), scal,
+               [col, geo], 3, n_side)
+    return jnp.stack(from_planar(out, height, width), axis=-1)

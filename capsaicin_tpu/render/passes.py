@@ -290,7 +290,16 @@ def indirect_gi(
         if bounce == options.num_diffuse_bounces:
             break  # reference's last TraceRay is dead work
 
-        s = sampling.sample2d_bluenoise4x4(noise, fx, frame_count * 25 + bounce)
+        # blue-noise sample for every pixel of the (affine) ray grid, built
+        # by tiling instead of a per-pixel gather (sampling.bluenoise4x4_field)
+        if options.lowres_indirect:
+            s = sampling.bluenoise4x4_field(
+                noise, w2, h2, frame_count * 25 + bounce, stride=2, offset=(ox, oy)
+            ).reshape(-1, 2)
+        else:
+            s = sampling.bluenoise4x4_field(
+                noise, w2, h2, frame_count * 25 + bounce
+            ).reshape(-1, 2)
         d, brdf, pdf = shading.lambert_sample(s, n)
         active = active & (pdf >= 1e-5)
         tp_scale = brdf * jnp.maximum(m.dot(n, d), 0.0) / jnp.maximum(pdf, 1e-20)
@@ -323,9 +332,26 @@ def _subsampled_nd(nd, frame_count, width, height, options: RenderOptions):
     return oct, depth
 
 
+def _use_pallas_stencil() -> bool:
+    """The Pallas stencil kernels replace the roll+mask jnp stencils on TPU
+    (each jnp tap materializes a full [H,W,C] temporary; the kernels read
+    each tile once). CAPSAICIN_PALLAS_STENCIL=1 forces them (interpret mode)
+    off-TPU for equivalence tests; =0 forces the jnp path everywhere."""
+    import os
+
+    flag = os.environ.get("CAPSAICIN_PALLAS_STENCIL")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() == "tpu"
+
+
 def spatial_gather(indirect, nd, width, height, frame_count, settings: Settings, options: RenderOptions):
     """7x7 edge-aware cross-bilateral filter of the raw indirect."""
     oct, depth = _subsampled_nd(nd, frame_count, width, height, options)
+    if _use_pallas_stencil():
+        from ..ops import pallas_stencil as ps
+
+        return ps.spatial_gather(indirect, m.oct_decode(oct), depth, settings)
     center_n = m.oct_decode(oct)  # decode once, shift the decoded field
     center_d = depth
     center_c = indirect
@@ -771,6 +797,12 @@ def denoise(color4, nd, moments4, settings: Settings, options: RenderOptions):
     eaw5); raytracing_system.cpp:1437-1539."""
     if not options.denoise:
         return color4
+    if _use_pallas_stencil():
+        from ..ops import pallas_stencil as ps
+
+        return ps.denoise_chain(
+            color4, m.oct_decode(nd["oct"]), nd["depth"], moments4, settings, options
+        )
     x = eaw_blur_disocclusion(color4, nd, moments4, settings, options)
     strides = (1, 3, 5, 7) if options.eaw5 else (1, 3)
     for s in strides:

@@ -6,10 +6,17 @@ gui_system.cpp:94-104). XLA fuses the whole frame, so per-pass numbers are
 obtained by jitting each pass separately and timing with block_until_ready;
 pass names match the reference's timer labels (raytracing_system.cpp:1024,
 1102, 1206, 1297, 1357, 1410, 1445, 1559).
+
+Every array a pass reads is passed as a jit ARGUMENT, never closed over:
+a closed-over device array is baked into the XLA program as a literal
+constant, which (a) lets the compiler constant-fold chunks of the pass,
+producing fake timings, and (b) at 1080p inflates program size by tens of
+MB — enough to OOM-kill the compile helper.
 """
 
 from __future__ import annotations
 
+import functools
 import time
 from typing import Dict
 
@@ -47,63 +54,89 @@ def measure_passes(session, iters: int = 3) -> Dict[str, float]:
         "inst": state.prev_nd_inst,
         "depth": state.prev_nd_depth,
     }
+    combined_hist = state.combined_history.astype(jnp.float32)
     timings: Dict[str, float] = {}
 
     closest, any_hit = make_traversal(scene, mode, bvh)
 
-    f_primary = jax.jit(
-        lambda cam: passes.trace_primary(closest, cam, width, height, fc)
-    )
-    timings["RaytracePrimaryVisibility"], gb = _time(f_primary, camera, iters=iters)
+    def f_primary(camera, fc):
+        return passes.trace_primary(closest, camera, width, height, fc)
 
-    f_direct = jax.jit(
-        lambda g: passes.direct_lighting(scene, any_hit, camera, g, width, height, fc, options)
+    timings["RaytracePrimaryVisibility"], gb = _time(
+        jax.jit(f_primary), camera, fc, iters=iters
     )
-    timings["RT Direct lighting"], (direct, albedo, nd) = _time(f_direct, gb, iters=iters)
 
-    f_indirect = jax.jit(
-        lambda g: passes.indirect_gi(
+    def f_direct(scene, camera, g, fc):
+        return passes.direct_lighting(
+            scene, any_hit, camera, g, width, height, fc, options
+        )
+
+    timings["RT Direct lighting"], (direct, albedo, nd) = _time(
+        jax.jit(f_direct), scene, camera, gb, fc, iters=iters
+    )
+
+    def f_indirect(scene, camera, prev_camera, g, ch, prev_nd, noise, fc):
+        return passes.indirect_gi(
             scene, closest, any_hit, camera, prev_camera, g,
-            state.combined_history.astype(jnp.float32), prev_nd, noise,
-            width, height, fc, options,
+            ch, prev_nd, noise, width, height, fc, options,
         )
-    )
-    timings["RT Indirect diffuse"], indirect = _time(f_indirect, gb, iters=iters)
 
-    f_gather = jax.jit(
-        lambda ind: passes.spatial_gather(ind, nd, width, height, fc, settings, options)
-    )
-    timings["Spatial gather"], gathered = _time(f_gather, indirect, iters=iters)
-
-    f_rep = jax.jit(
-        lambda ch, mh, cb: passes.reproject_and_fetch_history(
-            camera, prev_camera, nd, prev_nd, ch, mh, cb, width, height
-        )
-    )
-    timings["Reproject history"], rep = _time(
-        f_rep,
-        state.color_history.astype(jnp.float32),
-        state.moments_history.astype(jnp.float32),
-        state.combined_history.astype(jnp.float32),
+    timings["RT Indirect diffuse"], indirect = _time(
+        jax.jit(f_indirect),
+        scene, camera, prev_camera, gb, combined_hist, prev_nd, noise, fc,
         iters=iters,
     )
 
-    f_accum = jax.jit(
-        lambda g: passes.svgf_accumulate(
-            g, nd, rep, prev_camera, width, height, fc,
-            settings.temporal_upscale_feedback, options,
+    def f_gather(ind, nd, fc, settings):
+        return passes.spatial_gather(ind, nd, width, height, fc, settings, options)
+
+    timings["Spatial gather"], gathered = _time(
+        jax.jit(f_gather), indirect, nd, fc, settings, iters=iters
+    )
+
+    def f_rep(camera, prev_camera, nd, prev_nd, ch, mh, cb):
+        return passes.reproject_and_fetch_history(
+            camera, prev_camera, nd, prev_nd, ch, mh, cb, width, height
         )
+
+    timings["Reproject history"], rep = _time(
+        jax.jit(f_rep),
+        camera, prev_camera, nd, prev_nd,
+        state.color_history.astype(jnp.float32),
+        state.moments_history.astype(jnp.float32),
+        combined_hist,
+        iters=iters,
     )
-    timings["Temporal upscale"], (color_hist, moments_hist) = _time(f_accum, gathered, iters=iters)
 
-    f_eaw = jax.jit(lambda c: passes.denoise(c, nd, moments_hist, settings, options))
-    timings["EAW"], denoised = _time(f_eaw, color_hist, iters=iters)
+    def f_accum(g, nd, rep, prev_camera, fc, alpha):
+        return passes.svgf_accumulate(
+            g, nd, rep, prev_camera, width, height, fc, alpha, options
+        )
 
-    f_combine = jax.jit(lambda d: passes.combine(direct, d, albedo, options.output))
-    timings["Combine illumination"], combined = _time(f_combine, denoised, iters=iters)
-
-    f_taa = jax.jit(
-        lambda c: passes.taa(c, rep, nd, width, height, settings.taa_feedback)
+    timings["Temporal upscale"], (color_hist, moments_hist) = _time(
+        jax.jit(f_accum),
+        gathered, nd, rep, prev_camera, fc, settings.temporal_upscale_feedback,
+        iters=iters,
     )
-    timings["TAA"], _ = _time(f_taa, combined, iters=iters)
+
+    def f_eaw(c, nd, mh, settings):
+        return passes.denoise(c, nd, mh, settings, options)
+
+    timings["EAW"], denoised = _time(
+        jax.jit(f_eaw), color_hist, nd, moments_hist, settings, iters=iters
+    )
+
+    def f_combine(direct, d, albedo):
+        return passes.combine(direct, d, albedo, options.output)
+
+    timings["Combine illumination"], combined = _time(
+        jax.jit(f_combine), direct, denoised, albedo, iters=iters
+    )
+
+    def f_taa(c, rep, nd, fb):
+        return passes.taa(c, rep, nd, width, height, fb)
+
+    timings["TAA"], _ = _time(
+        jax.jit(f_taa), combined, rep, nd, settings.taa_feedback, iters=iters
+    )
     return timings

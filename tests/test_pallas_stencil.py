@@ -1,0 +1,84 @@
+"""Pallas stencil kernels (EAW chain, spatial gather) must equal the jnp
+reference formulation to fp tolerance. Runs in interpret mode on CPU."""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("CAPSAICIN_PALLAS_STENCIL", "0")  # jnp reference path
+
+import jax.numpy as jnp
+
+from capsaicin_tpu.ops import mathops as m
+from capsaicin_tpu.ops import pallas_stencil as ps
+from capsaicin_tpu.render import passes
+from capsaicin_tpu.render.settings import RenderOptions, default_settings
+
+
+def _fake_buffers(rng, h, w):
+    color4 = rng.random((h, w, 4), dtype=np.float32) * 2.0
+    color4[..., 3] *= 0.1
+    n = rng.normal(size=(h, w, 3)).astype(np.float32)
+    n /= np.linalg.norm(n, axis=-1, keepdims=True)
+    oct = np.asarray(m.oct_encode(jnp.asarray(n)))
+    depth = (rng.random((h, w), dtype=np.float32) * 20.0 + 1.0).astype(np.float32)
+    depth[rng.random((h, w)) < 0.1] = 0.0  # background pixels
+    moments4 = rng.random((h, w, 4), dtype=np.float32).astype(np.float32)
+    moments4[..., 3] = rng.integers(0, 20, (h, w)).astype(np.float32)
+    nd = {
+        "oct": jnp.asarray(oct),
+        "depth": jnp.asarray(depth),
+        "inst": jnp.zeros((h, w), jnp.int32),
+    }
+    return jnp.asarray(color4), nd, jnp.asarray(moments4)
+
+
+@pytest.mark.parametrize("eaw5", [False, True])
+def test_denoise_chain_matches_jnp(rng, eaw5):
+    h, w = 40, 150  # odd sizes exercise row/col padding
+    color4, nd, moments4 = _fake_buffers(rng, h, w)
+    settings = default_settings()
+    options = RenderOptions(eaw5=eaw5)
+
+    ref = np.asarray(passes.denoise(color4, nd, moments4, settings, options))
+    got = np.asarray(
+        ps.denoise_chain(
+            color4, m.oct_decode(nd["oct"]), nd["depth"], moments4, settings, options
+        )
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_eaw_blur_no_variance_matches_jnp(rng):
+    h, w = 32, 100
+    color4, nd, moments4 = _fake_buffers(rng, h, w)
+    settings = default_settings()
+    options = RenderOptions(use_variance=False)
+
+    ref = np.asarray(passes.eaw_blur(color4, nd, 3, settings, options))
+    geo = ps.pack_geo(m.oct_decode(nd["oct"]), nd["depth"], h, w)
+    col = ps.to_planar([color4[..., i] for i in range(4)], h, w)
+    out = ps.eaw_blur_planar(
+        col, geo, 3, False,
+        settings.eaw_normal_sigma, settings.eaw_depth_sigma, settings.eaw_luma_sigma,
+    )
+    got = np.asarray(jnp.stack(ps.from_planar(out, h, w), axis=-1))
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+def test_spatial_gather_matches_jnp(rng):
+    h, w = 48, 130
+    color4, nd, moments4 = _fake_buffers(rng, h, w)
+    indirect = color4[..., :3]
+    settings = default_settings()
+    options = RenderOptions()
+
+    ref = np.asarray(
+        passes.spatial_gather(indirect, nd, w, h, jnp.int32(0), settings, options)
+    )
+    got = np.asarray(
+        ps.spatial_gather(indirect, m.oct_decode(nd["oct"]), nd["depth"], settings)
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
