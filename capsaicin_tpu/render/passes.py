@@ -231,27 +231,47 @@ def indirect_gi(
                 offscreen = jnp.any((prev_uv < 0.0) | (prev_uv > 1.0), axis=-1)
                 prev_xy = resample.uv_to_xy(prev_uv, (width, height))
                 # pack prev-depth with the history, then quad-pack so ONE
-                # gather fetches all four bilinear corners for both (gather
-                # cost is per-index on TPU, width is free)
+                # gather fetches all four bilinear corners for both. The quad
+                # is built with aligned-shape rolls (an edge-pad to 1082x1922
+                # forces XLA relayouts that cost more than the gather); the
+                # wrapped +1 corners at the right/bottom border are never
+                # sampled because prev_xy <= dim-1 bounds the corner index,
+                # and the bx==-1 / by==-1 clamp cases reduce to weight zero —
+                # exact edge-clamp bilinear semantics (utils.h:19-36).
                 fb_pack = jnp.concatenate(
                     [combined_history[..., :3], prev_nd["depth"][..., None]], axis=-1
                 )
-                fb_pad = jnp.pad(fb_pack, ((1, 1), (1, 1), (0, 0)), mode="edge")
+                # fp16 quad: halves the gather row bytes AND matches the
+                # reference, whose combined history is an RGBA16F texture
+                # (raytracing_system.cpp:466-575) — the values it re-reads
+                # for feedback are fp16-quantized there too.
+                fb_pack = fb_pack.astype(jnp.float16)
                 fb_quad = jnp.concatenate(
                     [
-                        fb_pad,
-                        shift2d_clamped(fb_pad, 1, 0),
-                        shift2d_clamped(fb_pad, 0, 1),
-                        shift2d_clamped(fb_pad, 1, 1),
+                        fb_pack,
+                        jnp.roll(fb_pack, -1, axis=1),
+                        jnp.roll(fb_pack, -1, axis=0),
+                        jnp.roll(fb_pack, (-1, -1), axis=(0, 1)),
                     ],
                     axis=-1,
+                )
+                fb_quad = jax.lax.bitcast_convert_type(
+                    fb_quad.reshape(fb_quad.shape[0], fb_quad.shape[1], 8, 2),
+                    jnp.float32,
                 )
                 xy0 = prev_xy - 0.5
                 bx = jnp.floor(xy0[..., 0]).astype(jnp.int32)
                 by = jnp.floor(xy0[..., 1]).astype(jnp.int32)
-                wx = (xy0[..., 0] - jnp.floor(xy0[..., 0]))[..., None]
-                wy = (xy0[..., 1] - jnp.floor(xy0[..., 1]))[..., None]
-                quad = resample._gather_pixels(fb_quad, bx + 1, by + 1)
+                # uv_to_xy clamps prev_xy to [0, dim-1], so bx in [-1, W-2];
+                # only the -1 clamp needs fixing: zero the +x weight there
+                wx = jnp.where(bx < 0, 0.0, xy0[..., 0] - jnp.floor(xy0[..., 0]))[..., None]
+                wy = jnp.where(by < 0, 0.0, xy0[..., 1] - jnp.floor(xy0[..., 1]))[..., None]
+                bxc = jnp.maximum(bx, 0)
+                byc = jnp.maximum(by, 0)
+                quad = resample._gather_pixels(fb_quad, bxc, byc)
+                quad = jax.lax.bitcast_convert_type(
+                    quad.reshape(quad.shape[0], 8), jnp.float16
+                ).reshape(quad.shape[0], 16).astype(jnp.float32)
                 c00 = quad[..., 0:4]
                 c10 = quad[..., 4:8]
                 c01 = quad[..., 8:12]
@@ -265,8 +285,8 @@ def indirect_gi(
                 pix = jnp.floor(prev_xy).astype(jnp.int32)
                 pix_x = jnp.clip(pix[..., 0], 0, width - 1)
                 pix_y = jnp.clip(pix[..., 1], 0, height - 1)
-                di = pix_x - bx
-                dj = pix_y - by
+                di = pix_x - bxc
+                dj = pix_y - byc
                 prev_depth = jnp.where(
                     dj == 0,
                     jnp.where(di == 0, c00[..., 3], c10[..., 3]),
