@@ -109,32 +109,56 @@ def main():
     ap.add_argument("--all", action="store_true")
     args = ap.parse_args()
 
-    if args.config:
-        cfg = CONFIGS[args.config]
-        res = run_config(
+    def run_named(name):
+        cfg = CONFIGS[name]
+        return run_config(
             cfg["width"], cfg["height"], cfg["bounces"], cfg["scene"],
             cfg.get("traversal", "auto"), args.frames,
             lowres=cfg.get("options", {}).get("lowres_indirect", False),
             extra_options={k: v for k, v in cfg.get("options", {}).items()
                            if k != "lowres_indirect"},
         )
+
+    if args.all:
+        # one JSON line per BASELINE config; the flagship (gi1080) line last
+        # in the driver's required single-line format
+        flagship = None
+        for name in CONFIGS:
+            res = run_named(name)
+            if name == "gi1080":
+                flagship = res
+            print(
+                json.dumps(
+                    {
+                        "config": name,
+                        "mrays_per_s": round(res["mrays_per_s"], 2),
+                        "ms_per_frame": round(res["ms_per_frame"], 3),
+                        "fps": round(res["fps"], 2),
+                    }
+                ),
+                file=sys.stderr,
+            )
+        res = flagship
+    elif args.config:
+        res = run_named(args.config)
     else:
         res = run_config(
             args.width, args.height, args.bounces, args.scene, args.traversal, args.frames
         )
     value = round(res["mrays_per_s"], 2)
+    label = "Cornell 1080p 1-bounce GI full pipeline"
+    if args.config and args.config != "gi1080" and not args.all:
+        label = f"config {args.config} full pipeline"
     print(
         json.dumps(
             {
-                "metric": "Mrays/s traversal+shade, Cornell 1080p 1-bounce GI full pipeline",
+                "metric": f"Mrays/s traversal+shade, {label}",
                 "value": value,
                 "unit": "Mrays/s",
                 "vs_baseline": round(value / NORTH_STAR_MRAYS, 3),
             }
         )
     )
-    if args.all:
-        print(json.dumps({"detail": res}), file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -138,3 +138,85 @@ def build_lbvh(tris, leaf_size: int = 4) -> BVH:
         tri_e2=gv2 - gv0,
         tri_id=tri_id,
     )
+
+
+def build_median_bvh(tris, leaf_size: int = 4) -> BVH:
+    """Host-side (NumPy) object-median build: same implicit-heap layout as
+    build_lbvh, but each split partitions its triangle range at the slot
+    midpoint by centroid along the locally longest axis instead of relying
+    on global morton order. Tighter boxes -> substantially fewer node steps
+    and leaf visits for the packet traversal kernel (the quality lever the
+    reference gets from the driver's PREFER_FAST_TRACE builder,
+    blas_system.cpp:44). Build is host-side because the recursion is
+    data-dependent; it runs once per scene upload.
+    """
+    import numpy as np
+
+    tris_np = np.asarray(tris)
+    t = tris_np.shape[0]
+    n_leaves = max(2, _next_pow2(-(-t // leaf_size)))
+    padded = n_leaves * leaf_size
+
+    v0 = tris_np[:, 0]
+    v1 = tris_np[:, 1]
+    v2 = tris_np[:, 2]
+    centroids = (v0 + v1 + v2) / 3.0
+
+    def split(seg, slots):
+        if slots <= leaf_size:
+            return [seg]
+        if len(seg) == 0:
+            return [seg] * (slots // leaf_size)  # a run of empty leaves
+        half = slots // 2
+        if len(seg) <= half:
+            # everything fits in the left subtree; right stays empty
+            return split(seg, half) + split(seg[:0], half)
+        c = centroids[seg]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        part = np.argpartition(c[:, axis], half - 1)
+        return split(seg[part[:half]], half) + split(seg[part[half:]], half)
+
+    segs = split(np.arange(t, dtype=np.int32), padded)
+    order_parts = []
+    tri_id_parts = []
+    for leaf_seg in segs:
+        pad = leaf_size - len(leaf_seg)
+        order_parts.append(leaf_seg)
+        order_parts.append(np.zeros(pad, np.int32))  # clamped below by id -1
+        tri_id_parts.append(leaf_seg)
+        tri_id_parts.append(np.full(pad, -1, np.int32))
+    order = np.concatenate(order_parts)
+    tri_id = np.concatenate(tri_id_parts)
+
+    gv0 = v0[order]
+    gv1 = v1[order]
+    gv2 = v2[order]
+
+    valid = (tri_id >= 0)[:, None]
+    inf = float(INF)
+    p_min = np.where(valid, np.minimum(np.minimum(gv0, gv1), gv2), inf)
+    p_max = np.where(valid, np.maximum(np.maximum(gv0, gv1), gv2), -inf)
+    leaf_min = p_min.reshape(n_leaves, leaf_size, 3).min(axis=1)
+    leaf_max = p_max.reshape(n_leaves, leaf_size, 3).max(axis=1)
+
+    levels_min = [leaf_min]
+    levels_max = [leaf_max]
+    cur_min, cur_max = leaf_min, leaf_max
+    while cur_min.shape[0] > 1:
+        cur_min = np.minimum(cur_min[0::2], cur_min[1::2])
+        cur_max = np.maximum(cur_max[0::2], cur_max[1::2])
+        levels_min.append(cur_min)
+        levels_max.append(cur_max)
+
+    nodes_min = np.concatenate([np.full((1, 3), inf)] + levels_min[::-1])
+    nodes_max = np.concatenate([np.full((1, 3), -inf)] + levels_max[::-1])
+
+    f32 = np.float32
+    return BVH(
+        nodes_min=jnp.asarray(nodes_min.astype(f32)),
+        nodes_max=jnp.asarray(nodes_max.astype(f32)),
+        tri_v0=jnp.asarray(gv0.astype(f32)),
+        tri_e1=jnp.asarray((gv1 - gv0).astype(f32)),
+        tri_e2=jnp.asarray((gv2 - gv0).astype(f32)),
+        tri_id=jnp.asarray(tri_id),
+    )

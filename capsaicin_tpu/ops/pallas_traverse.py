@@ -15,10 +15,12 @@ diverges hardest from a GPU port):
   * **Lane-packed VMEM-resident scene.** Mosaic only allows dynamic indexing
     on sublane (row) dimensions, and pads VMEM lane dims to 128 — so both
     tables are packed 128 floats per row with zero padding waste:
-      nodes: 16 nodes x 8 floats per row; the in-row slot is extracted with
-             a one-hot lane reduction (the slot is dynamic)
-      tris:  8 triangles x 10 floats per row == one BVH leaf; in-row lanes
-             are STATIC (the unrolled leaf loop), so extraction is free
+      nodes: 16 nodes x 8 floats per row; the in-row record is aligned to
+             lane 0 with a dynamic lane rotate (pltpu.roll) and read via
+             static slice-broadcasts — the whole step stays on the VPU
+      tris:  8 triangles x 10 floats per row; a 32-tri leaf spans 4 rows,
+             iterated with a fori_loop (in-row lanes are STATIC via the
+             unrolled 8-tri body, so extraction is free)
     Triangle ids ride along as floats (exact below 2^24).
   * The DFS successor is the same trailing-ones arithmetic as
     ops.traverse._dfs_next — no stack, no parent pointers.
@@ -49,10 +51,13 @@ PACKET = 1024  # rays per packet: 8 sublanes x 128 lanes
 SUB = 8
 LANE = 128
 
-LEAF_SIZE = 8  # 8 tris x 10 floats = 80 lanes/row. Do NOT widen: a 12-wide
-# unrolled leaf body crosses the vector-register spill cliff and runs ~80x
-# slower (measured on v5e).
-TRIS_PER_ROW = LEAF_SIZE
+TRIS_PER_ROW = 8  # 8 tris x 10 floats = 80 lanes/row. Do NOT unroll wider:
+# a 12-wide unrolled leaf body crosses the vector-register spill cliff and
+# runs ~80x slower (measured on v5e). Wider leaves iterate over ROWS with a
+# fori_loop (live set stays at 8 tris) instead of unrolling.
+LEAF_SIZE = 32  # tris per BVH leaf = 4 rows. Wider leaves -> a 4x shallower
+# tree -> 4x fewer scalar-bound traversal steps; the extra triangle tests
+# are dense VPU work, which is the cheap currency on TPU.
 NODES_PER_ROW = 16  # 16 nodes x 8 floats = 128 lanes
 # VMEM cap per sub-tree: tris rows*512B + nodes. Scenes above this are split
 # into morton-ordered chunks, each with its own VMEM-resident sub-BVH, traced
@@ -100,6 +105,14 @@ class PackedBVH:
         self.n_leaves = n_leaves
         self.leaf_size = leaf_size
 
+    @property
+    def per_row(self) -> int:
+        return min(self.leaf_size, TRIS_PER_ROW)
+
+    @property
+    def leaf_rows(self) -> int:
+        return self.leaf_size // self.per_row
+
     def tree_flatten(self):
         return (self.nodes, self.tris), (self.n_leaves, self.leaf_size)
 
@@ -130,9 +143,11 @@ def build_packed_bvh(tris):
     Over-cap scenes are pre-sorted by centroid morton code and chunked so
     each sub-BVH covers a compact spatial region; sub-tree leaf records carry
     GLOBAL triangle ids, so results merge by plain min."""
+    from .lbvh import build_median_bvh
+
     t = tris.shape[0]
     if t <= CHUNK_TRIS_CAP:
-        return pack_bvh(build_lbvh(tris, leaf_size=LEAF_SIZE), n_real_tris=t)
+        return pack_bvh(build_median_bvh(tris, leaf_size=LEAF_SIZE), n_real_tris=t)
 
     from .lbvh import morton_codes
 
@@ -147,7 +162,7 @@ def build_packed_bvh(tris):
     parts = []
     for c in range(n_chunks):
         ids = order[c * chunk : min((c + 1) * chunk, t)]
-        sub = build_lbvh(tris[ids], leaf_size=LEAF_SIZE)
+        sub = build_median_bvh(tris[ids], leaf_size=LEAF_SIZE)
         # remap chunk-local ids to global ids before packing
         local = sub.tri_id
         global_ids = jnp.where(local >= 0, ids[jnp.clip(local, 0, None)], -1)
@@ -158,6 +173,8 @@ def build_packed_bvh(tris):
 
 def pack_bvh(bvh: BVH, n_real_tris=None) -> PackedBVH:
     leaf = bvh.leaf_size
+    per_row = min(leaf, TRIS_PER_ROW)
+    assert leaf % per_row == 0, f"leaf_size {leaf} must be a multiple of rows"
     n2 = bvh.nodes_min.shape[0]
     rows_n = -(-n2 // NODES_PER_ROW)
     node_rec = jnp.concatenate(
@@ -168,11 +185,12 @@ def pack_bvh(bvh: BVH, n_real_tris=None) -> PackedBVH:
         node_rec = jnp.concatenate([node_rec, jnp.zeros((pad, 8), jnp.float32)])
     nodes = node_rec.reshape(rows_n, NODES_PER_ROW * 8)
 
-    tris = pack_tri_rows(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, bvh.tri_id, leaf)
+    tris = pack_tri_rows(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, bvh.tri_id, per_row)
     if n_real_tris is not None:
-        # drop trailing all-padding leaf rows (morton padding is appended at
-        # the end); the kernel clamps leaf row indices
-        rows_real = max(1, -(-int(n_real_tris) // leaf))
+        # drop trailing all-padding rows (morton padding is appended at the
+        # end); the kernel clamps row indices (re-testing a clamped row is
+        # idempotent: min-merge of identical triangles)
+        rows_real = max(1, -(-int(n_real_tris) // per_row))
         tris = tris[:rows_real]
     return PackedBVH(nodes=nodes, tris=tris, n_leaves=bvh.n_leaves, leaf_size=leaf)
 
@@ -207,7 +225,7 @@ def _dfs_next_scalar(k):
 
 
 def _traverse_kernel(
-    n_leaves, tri_rows, leaf_size, any_hit,
+    n_leaves, tri_rows, per_row, leaf_rows, any_hit, interpret,
     rays_ref, nodes_ref, tris_ref,
     t_out, u_out, v_out, p_out,
 ):
@@ -228,25 +246,44 @@ def _traverse_kernel(
     iy = safe_inv(dy)
     iz = safe_inv(dz)
 
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # dynamic lane rotate: pltpu.roll on hardware, jnp.roll when interpreted
+    roll_fn = jnp.roll if interpret else pltpu.roll
 
-    max_steps = 8 * n_leaves + 64  # full DFS bound (safety cap)
+    max_steps = 4 * n_leaves + 64  # full DFS bound (safety cap)
+
+    # Traversal state (t/u/v/prim tiles) lives IN THE OUTPUT REFS and is
+    # mutated in place: carrying four [8,128] tiles through lax.while/cond
+    # costs a tile copy per carry per step, which dominated the step time.
+    # The while carry is three scalars.
+    t_out[0, 0] = tmax
+    u_out[0, 0] = jnp.zeros((SUB, LANE), jnp.float32)
+    v_out[0, 0] = jnp.zeros((SUB, LANE), jnp.float32)
+    if any_hit:
+        # dead lanes (padding, or retired by PackedBVHSet chunk culling:
+        # tmax < tmin) latch a fake hit so the every-lane-done early exit
+        # can actually fire on partial packets
+        p_out[0, 0] = jnp.where(tmax < tmin, 0, -1).astype(jnp.int32)
+    else:
+        p_out[0, 0] = jnp.full((SUB, LANE), -1, jnp.int32)
 
     def body(state):
-        step, k, t_best, u, v, prim = state
-        # any-hit lanes retire once prim is latched (prim >= 0)
-        live = (prim < 0) if any_hit else True
+        step, k, live_any = state
 
-        # node AABB: one-hot extract 6 scalars from the packed row
+        # node AABB extraction: rotate the packed row so the node's 8-float
+        # record starts at lane 0, then take static rank-0 extracts (their
+        # scalar->tile broadcast is native). The previous one-hot
+        # lane-reduction extraction paid 6 full-tile reductions per step.
         row = nodes_ref[k // NODES_PER_ROW, :].reshape(1, 128)
         slot = (k % NODES_PER_ROW) * 8
+        rec = roll_fn(row, (128 - slot) % 128, axis=1)
 
         def pick(c):
-            return jnp.sum(jnp.where(lane_ids == slot + c, row, 0.0))
+            return rec[0, c]
 
         lo_x, lo_y, lo_z = pick(0), pick(1), pick(2)
         hi_x, hi_y, hi_z = pick(3), pick(4), pick(5)
 
+        t_best = t_out[0, 0]
         tx0 = (lo_x - ox) * ix
         tx1 = (hi_x - ox) * ix
         ty0 = (lo_y - oy) * iy
@@ -263,90 +300,106 @@ def _traverse_kernel(
         )
         hit_box = (t_near <= t_far) & (t_far >= tmin) & (t_near <= t_best)
         if any_hit:
-            hit_box = hit_box & live
+            # retired lanes (prim latched) stop expanding boxes
+            hit_box = hit_box & (p_out[0, 0] < 0)
         any_box = jnp.any(hit_box)
 
         is_leaf = k >= n_leaves
+        take_leaf = any_box & is_leaf
 
-        def leaf_tests(carry):
-            t_best, u, v, prim = carry
-            leaf = jnp.minimum(k - n_leaves, tri_rows - 1)
-            trow = tris_ref[leaf, :]  # [128]; in-row lanes are static below
-            for j in range(leaf_size):
-                b = j * 10
-                v0x, v0y, v0z = trow[b], trow[b + 1], trow[b + 2]
-                e1x, e1y, e1z = trow[b + 3], trow[b + 4], trow[b + 5]
-                e2x, e2y, e2z = trow[b + 6], trow[b + 7], trow[b + 8]
-                tid = trow[b + 9].astype(jnp.int32) - 1
+        @pl.when(take_leaf)
+        def _leaf_tests():
+            def row_body(i, c):
+                t_best = t_out[0, 0]
+                u = u_out[0, 0]
+                v = v_out[0, 0]
+                prim = p_out[0, 0]
+                r = jnp.minimum((k - n_leaves) * leaf_rows + i, tri_rows - 1)
+                trow = tris_ref[r, :]  # [128]; in-row lanes are static below
+                for j in range(per_row):
+                    b = j * 10
+                    v0x, v0y, v0z = trow[b], trow[b + 1], trow[b + 2]
+                    e1x, e1y, e1z = trow[b + 3], trow[b + 4], trow[b + 5]
+                    e2x, e2y, e2z = trow[b + 6], trow[b + 7], trow[b + 8]
+                    tid = trow[b + 9].astype(jnp.int32) - 1
 
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(
-                    jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
-                )
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                uu = (tvx * px + tvy * py + tvz * pz) * inv_det
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                vv = (dx * qx + dy * qy + dz * qz) * inv_det
-                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = (
-                    (jnp.abs(det) > 1e-12)
-                    & (uu >= 0.0)
-                    & (vv >= 0.0)
-                    & (uu + vv <= 1.0)
-                    & (tt > tmin)
-                    & (tt < jnp.minimum(tmax, t_best))
-                    & (tid >= 0)
-                )
-                if any_hit:
-                    ok = ok & (prim < 0)
-                t_best = jnp.where(ok, tt, t_best)
-                u = jnp.where(ok, uu, u)
-                v = jnp.where(ok, vv, v)
-                prim = jnp.where(ok, tid, prim)
-            return t_best, u, v, prim
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = jnp.where(
+                        jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+                    )
+                    tvx = ox - v0x
+                    tvy = oy - v0y
+                    tvz = oz - v0z
+                    uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (jnp.abs(det) > 1e-12)
+                        & (uu >= 0.0)
+                        & (vv >= 0.0)
+                        & (uu + vv <= 1.0)
+                        & (tt > tmin)
+                        & (tt < jnp.minimum(tmax, t_best))
+                        & (tid >= 0)
+                    )
+                    if any_hit:
+                        ok = ok & (prim < 0)
+                    t_best = jnp.where(ok, tt, t_best)
+                    u = jnp.where(ok, uu, u)
+                    v = jnp.where(ok, vv, v)
+                    prim = jnp.where(ok, tid, prim)
+                t_out[0, 0] = t_best
+                u_out[0, 0] = u
+                v_out[0, 0] = v
+                p_out[0, 0] = prim
+                return c
 
-        t_best, u, v, prim = jax.lax.cond(
-            any_box & is_leaf, leaf_tests, lambda c: c, (t_best, u, v, prim)
-        )
+            if leaf_rows == 1:
+                row_body(0, 0)
+            else:
+                # loop (not unroll) over leaf rows: the live set stays at
+                # one row's 8 triangles, below the register-spill cliff
+                jax.lax.fori_loop(0, leaf_rows, row_body, 0)
+
+        if any_hit:
+            # refresh the early-exit flag only after leaf work (scalar cond)
+            live_any = jax.lax.cond(
+                take_leaf,
+                lambda _: jnp.any(p_out[0, 0] < 0),
+                lambda _: live_any,
+                0,
+            )
 
         descend = any_box & (~is_leaf)
         k = jnp.where(descend, 2 * k, _dfs_next_scalar(k))
-        return step + 1, k, t_best, u, v, prim
+        return step + 1, k, live_any
 
     def cond(state):
-        step, k = state[0], state[1]
+        step, k, live_any = state
         more = (k > 1) & (step < max_steps)
         if any_hit:
-            more = more & jnp.any(state[5] < 0)
+            more = more & live_any
         return more
 
     init = (
         jnp.int32(0),
         jnp.int32(2),  # the root box always contains the scene; start below
-        tmax,
-        jnp.zeros((SUB, LANE), jnp.float32),
-        jnp.zeros((SUB, LANE), jnp.float32),
-        jnp.full((SUB, LANE), -1, jnp.int32),
+        jnp.any(p_out[0, 0] < 0) if any_hit else jnp.bool_(True),
     )
-    _, k, t_best, u, v, prim = jax.lax.while_loop(cond, body, init)
-    t_out[0, 0] = t_best
-    u_out[0, 0] = u
-    v_out[0, 0] = v
-    p_out[0, 0] = prim
+    jax.lax.while_loop(cond, body, init)
 
 
 def _run(packed: PackedBVH, rays_tiled, any_hit: bool):
     np_ = rays_tiled.shape[0]
     kernel = functools.partial(
         _traverse_kernel, packed.n_leaves, packed.tris.shape[0],
-        packed.leaf_size, any_hit,
+        packed.per_row, packed.leaf_rows, any_hit, _use_interpret(),
     )
     f32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.float32)
     i32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.int32)
@@ -372,9 +425,18 @@ def _untile(x, n):
 
 def bvh_closest(packed, origins, dirs, tmin=0.0, tmax=1e6):
     if isinstance(packed, PackedBVHSet):
+        # Chunk culling by ray shortening: each chunk is traced with the
+        # best-so-far hit distance as its per-ray tmax, so once a packet has
+        # found close hits, later (morton-disjoint) chunks fail the root/box
+        # t_near <= t_best test and their walk exits in a couple of steps —
+        # sublinear total cost instead of a full walk per chunk
+        # (PREFER_FAST_TRACE intent, blas_system.cpp:44).
         best = None
         for part in packed.parts:
-            cur = bvh_closest(part, origins, dirs, tmin, tmax)
+            cur = bvh_closest(
+                part, origins, dirs, tmin,
+                tmax if best is None else best["t"],
+            )
             if best is None:
                 best = cur
             else:
@@ -395,10 +457,17 @@ def bvh_closest(packed, origins, dirs, tmin=0.0, tmax=1e6):
 
 def bvh_any(packed, origins, dirs, tmin=1e-4, tmax=1e6):
     if isinstance(packed, PackedBVHSet):
+        # retire already-hit lanes for later chunks (tmax < tmin accepts
+        # nothing and expands no boxes): the occluded-lane analog of the
+        # closest-hit ray shortening above
         hit = None
+        tmax_arr = jnp.broadcast_to(
+            jnp.asarray(tmax, jnp.float32), origins.shape[:1]
+        )
         for part in packed.parts:
-            cur = bvh_any(part, origins, dirs, tmin, tmax)
+            cur = bvh_any(part, origins, dirs, tmin, tmax_arr)
             hit = cur if hit is None else (hit | cur)
+            tmax_arr = jnp.where(hit, -1.0, tmax_arr)
         return hit
     rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
     t, u, v, prim = _run(packed, rays, any_hit=True)

@@ -193,9 +193,12 @@ def indirect_gi(
 
     fx = _flat(fullres_xy)
     if options.lowres_indirect:
-        # gbuffer fetch at the interleave-phase subsample positions
-        prim0 = gb["prim"][fx[:, 1], fx[:, 0]]
-        bary0 = gb["bary"][fx[:, 1], fx[:, 0]]
+        # gbuffer fetch at the interleave-phase subsample positions: the
+        # positions (2x+ox, 2y+oy) are affine in (x, y), so this is a roll
+        # by the traced phase + a stride-2 slice — NOT a per-pixel gather
+        # (same trick as _subsampled_nd / bluenoise4x4_field)
+        prim0 = _flat(jnp.roll(gb["prim"], shift=(-oy, -ox), axis=(0, 1))[::2, ::2])
+        bary0 = jnp.roll(gb["bary"], shift=(-oy, -ox), axis=(0, 1))[::2, ::2].reshape(-1, 2)
     else:
         # identity layout: plain reshape (no gather), and the bounce-0
         # attribute fetch below CSEs with the direct pass's

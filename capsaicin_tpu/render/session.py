@@ -43,6 +43,10 @@ from .settings import RenderOptions, Settings, default_settings
 from .traversal import make_traversal, resolve_mode
 
 
+# (mode, width, height, options) -> jitted frame fn, shared across sessions
+_GLOBAL_FN_CACHE: Dict = {}
+
+
 class RenderSession:
     def __init__(
         self,
@@ -66,6 +70,11 @@ class RenderSession:
         self.bvh = None
         self.state: Optional[pipeline.FrameState] = None
         self._frame_fn = None
+        # jitted frame fns per RenderOptions: precompiled variants so the
+        # viewer can flip static options (output mode, bounces, denoise,
+        # eaw5 — the ImGui toggles, gui_system.cpp:69-91) without a
+        # recompile hitch (SURVEY.md §7 hard-part 7)
+        self._fn_cache: Dict[RenderOptions, object] = {}
         self._timings: Dict[str, float] = {}
 
     # -- scene ------------------------------------------------------------
@@ -80,6 +89,7 @@ class RenderSession:
         self.bvh = build_accel(self.scene_dev, mode)
         self._resolved_mode = mode
         self._frame_fn = None
+        self._fn_cache.clear()
         self.reset()
 
     def set_camera(self, camera: Camera):
@@ -92,16 +102,89 @@ class RenderSession:
 
     def set_options(self, options: RenderOptions):
         """Changing static options recompiles (like the reference rebuilding
-        PSOs with different #defines)."""
+        PSOs with different #defines) and resets accumulation."""
+        self.use_options(options)
+        self.reset()
+
+    def use_options(self, options: RenderOptions):
+        """Live-switch static options WITHOUT resetting temporal history —
+        the analog of flipping an ImGui toggle mid-session
+        (gui_system.cpp:69-91). Reuses a cached compiled variant when one
+        exists (see precompile_variants); only a history-dtype change forces
+        a reset (the state buffers change dtype)."""
+        reset_needed = options.history_dtype != self.options.history_dtype
         self.options = options
+        self._frame_fn = self._fn_cache.get(options)
+        if reset_needed:
+            self.reset()
+
+    def precompile_variants(self, variants=None):
+        """Compile a set of RenderOptions variants ahead of time so runtime
+        flips don't hitch (SURVEY.md §7 item 7: 'settings changes that flip
+        kernel variants should be jit-static and precompiled'). Default set:
+        the 4 output debug modes, denoise off, eaw5 off, and bounce counts
+        1..3. Requires a scene. Returns the number compiled."""
+        import dataclasses
+
+        if self.scene_dev is None:
+            raise RuntimeError("set_scene() first")
+        if variants is None:
+            base = self.options
+            variants = [base]
+            for mode_ in range(4):
+                variants.append(dataclasses.replace(base, output=mode_))
+            variants.append(dataclasses.replace(base, denoise=False))
+            variants.append(dataclasses.replace(base, eaw5=False))
+            for b in (1, 2, 3):
+                variants.append(dataclasses.replace(base, num_diffuse_bounces=b))
+        n = 0
+        example = (
+            self.scene_dev, self.bvh, self.camera, self.state,
+            self.settings, self.noise,
+        )
+        for opt in dict.fromkeys(variants):
+            if opt in self._fn_cache:
+                continue
+            fn = self._build_frame_fn(opt)
+            # trace+compile now (populates the persistent XLA cache on TPU);
+            # the jit dispatch itself then hits the warm cache on first use
+            fn.lower(*example).compile()
+            self._fn_cache[opt] = fn
+            n += 1
+        return n
+
+    def resize(self, width: int, height: int):
+        """Change the render resolution, refitting the camera sensor to the
+        new aspect (the reference refits sensor height to the window every
+        frame, camera_system.cpp:10-17). Resets accumulation; compiled
+        variants for the old resolution are dropped."""
+        if (width, height) == (self.width, self.height):
+            return
+        self.width, self.height = width, height
+        sensor = jnp.asarray(self.camera.sensor_size)
+        self.camera = self.camera._replace(
+            sensor_size=jnp.array(
+                [sensor[0], sensor[0] * height / width], jnp.float32
+            )
+        )
         self._frame_fn = None
+        self._fn_cache.clear()
         self.reset()
 
     # -- frame ------------------------------------------------------------
 
-    def _build_frame_fn(self):
+    def _build_frame_fn(self, options: Optional[RenderOptions] = None):
         mode = self._resolved_mode
-        width, height, options = self.width, self.height, self.options
+        width, height = self.width, self.height
+        options = self.options if options is None else options
+        # process-wide cache: the jitted step closes over ONLY
+        # (mode, resolution, options) — scene/bvh/state are traced args —
+        # so identical configs across sessions share one compile (the
+        # reference's PSO cache analog)
+        key = (mode, width, height, options)
+        cached = _GLOBAL_FN_CACHE.get(key)
+        if cached is not None:
+            return cached
 
         def step(scene, bvh, camera, state, settings, noise):
             closest, any_hit = make_traversal(scene, mode, bvh)
@@ -117,7 +200,9 @@ class RenderSession:
                 closest_bounce_fn=bounce, any_bounce_fn=bounce_any,
             )
 
-        return jax.jit(step, donate_argnums=(3,))
+        fn = jax.jit(step, donate_argnums=(3,))
+        _GLOBAL_FN_CACHE[key] = fn
+        return fn
 
     def render(self, camera: Optional[Camera] = None) -> np.ndarray:
         """Render one frame, advance state, return display image [H,W,3]."""
@@ -126,7 +211,7 @@ class RenderSession:
         if camera is not None:
             self.camera = camera
         if self._frame_fn is None:
-            self._frame_fn = self._build_frame_fn()
+            self._frame_fn = self._fn_cache[self.options] = self._build_frame_fn()
         t0 = time.perf_counter()
         display, self.state = self._frame_fn(
             self.scene_dev, self.bvh, self.camera, self.state, self.settings, self.noise
@@ -141,7 +226,7 @@ class RenderSession:
         if camera is not None:
             self.camera = camera
         if self._frame_fn is None:
-            self._frame_fn = self._build_frame_fn()
+            self._frame_fn = self._fn_cache[self.options] = self._build_frame_fn()
         display, self.state = self._frame_fn(
             self.scene_dev, self.bvh, self.camera, self.state, self.settings, self.noise
         )

@@ -53,8 +53,10 @@ class Scene(NamedTuple):
     tri_t2: np.ndarray
     tri_mesh: np.ndarray  # [T] i32
 
-    # texture atlas
-    atlas: np.ndarray  # [N,TH,TW,4] f32 (N>=1; entry 0 is the 1x1 fallback)
+    # texture atlas, quad-packed: channels = 4 RGBA blocks for the (0,0),
+    # (+1,0), (0,+1), (+1,+1) bilinear corners with per-texture wrap, so one
+    # gather fetches a full bilinear footprint (see build_scene)
+    atlas: np.ndarray  # [N,TH,TW,16] f32 (N>=1; entry 0 is the 1x1 fallback)
     atlas_size: np.ndarray  # [N,2] i32 (w,h)
 
     @property
@@ -140,20 +142,34 @@ def build_scene(
         first_index += idx.shape[0]
         first_prim += tris.shape[0]
 
-    # texture atlas
+    # texture atlas, quad-packed for a one-gather bilinear fetch: channel
+    # blocks are (texel, +x, +y, +xy neighbors), each wrapped at the
+    # texture's OWN size before padding, so the shading kernel fetches all
+    # four bilinear corners of the wrap-mode sampler with a single gather
+    # (TPU gathers cost ~17ns per index regardless of row width — count,
+    # not bytes, is what matters)
     imgs = [textures.get(n) for n in tex_names]
     # Missing-file fallback: 1x1 zeros (texture_system.cpp:47-56).
     imgs = [img if img is not None else np.zeros((1, 1, 4), np.float32) for img in imgs]
     if imgs:
         th = max(i.shape[0] for i in imgs)
         tw = max(i.shape[1] for i in imgs)
-        atlas = np.zeros((len(imgs), th, tw, 4), np.float32)
+        atlas = np.zeros((len(imgs), th, tw, 16), np.float32)
         sizes = np.zeros((len(imgs), 2), np.int32)
         for k, img in enumerate(imgs):
-            atlas[k, : img.shape[0], : img.shape[1], :] = img
+            quad = np.concatenate(
+                [
+                    img,
+                    np.roll(img, -1, axis=1),
+                    np.roll(img, -1, axis=0),
+                    np.roll(img, (-1, -1), axis=(0, 1)),
+                ],
+                axis=-1,
+            )
+            atlas[k, : img.shape[0], : img.shape[1], :] = quad
             sizes[k] = (img.shape[1], img.shape[0])
     else:
-        atlas = np.zeros((1, 1, 1, 4), np.float32)
+        atlas = np.zeros((1, 1, 1, 16), np.float32)
         sizes = np.ones((1, 2), np.int32)
 
     cat = np.concatenate

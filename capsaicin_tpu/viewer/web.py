@@ -3,9 +3,13 @@
 The TPU-native replacement for the reference's Win32 + ImGui viewer
 (src/viewer/main.cpp, gui_system.cpp): a tiny HTTP server pushes JPEG frames
 to a canvas; WASD/QE + mouse-drag events route through the CameraRig, whose
-kinematics match InputSystem (see viewer/input.py). The settings panel knobs
-mirror the reference's ImGui controls (gui_system.cpp:69-91) and the overlay
-shows ms/frame + FPS like gui_system.cpp:102-104.
+kinematics match InputSystem (see viewer/input.py). The settings panel
+mirrors the full ImGui control set (gui_system.cpp:69-91): the float sigmas
+are traced knobs (no recompile), while output mode / bounce count / denoise /
+eaw5 / gather / TAA flip precompiled jit variants (session.use_options) the
+way the reference rebuilds PSOs — but hitch-free thanks to
+session.precompile_variants. The overlay shows ms/frame + FPS and, on
+demand, the per-pass timings table (gui_system.cpp:94-104).
 """
 
 from __future__ import annotations
@@ -26,11 +30,17 @@ body { background:#111; color:#ddd; font-family:monospace; margin:0 }
 #hud { position:fixed; top:8px; left:8px; background:#000a; padding:8px; font-size:12px }
 #hud label { display:block; margin-top:4px }
 #hud input[type=range] { width:110px; vertical-align:middle }
+#hud select { background:#222; color:#ddd }
+#timings { white-space:pre; color:#9c9 }
+button { background:#333; color:#ddd; border:1px solid #555; margin-top:4px }
 canvas { display:block; margin:auto; image-rendering:pixelated }
 </style></head><body>
 <div id="hud">capsaicin-tpu &middot; WASD/QE move &middot; drag to look<br>
 <span id="stats"></span>
-<div id="knobs"></div></div>
+<div id="opts"></div>
+<div id="knobs"></div>
+<button id="tbtn">pass timings</button>
+<div id="timings"></div></div>
 <canvas id="c"></canvas>
 <script>
 const canvas = document.getElementById('c');
@@ -46,10 +56,11 @@ window.addEventListener('mousemove', e => {
                   lastX = e.clientX; lastY = e.clientY; }
 });
 // settings panel (the ImGui knob set, gui_system.cpp:69-91)
-const changed = {};
+const changed = {};         // traced float knobs
+const optChanged = {};      // static option flips (precompiled variants)
 fetch('/settings').then(r => r.json()).then(cfg => {
-  const div = document.getElementById('knobs');
-  for (const [name, spec] of Object.entries(cfg)) {
+  const kdiv = document.getElementById('knobs');
+  for (const [name, spec] of Object.entries(cfg.knobs)) {
     const label = document.createElement('label');
     label.textContent = name + ' ';
     const input = document.createElement('input');
@@ -61,12 +72,54 @@ fetch('/settings').then(r => r.json()).then(cfg => {
     input.oninput = () => { changed[name] = parseFloat(input.value);
                            val.textContent = input.value; };
     label.appendChild(input); label.appendChild(val);
-    div.appendChild(label);
+    kdiv.appendChild(label);
+  }
+  const odiv = document.getElementById('opts');
+  for (const [name, spec] of Object.entries(cfg.options)) {
+    const label = document.createElement('label');
+    label.textContent = name + ' ';
+    let input;
+    if (spec.choices) {                 // enum -> dropdown
+      input = document.createElement('select');
+      for (const [i, c] of spec.choices.entries()) {
+        const o = document.createElement('option');
+        o.value = i; o.textContent = c; input.appendChild(o);
+      }
+      input.value = spec.value;
+      input.onchange = () => optChanged[name] = parseInt(input.value);
+    } else if (spec.max !== undefined) {  // int -> number input
+      input = document.createElement('input');
+      input.type = 'number'; input.min = spec.min; input.max = spec.max;
+      input.value = spec.value; input.style.width = '40px';
+      input.onchange = () => optChanged[name] = parseInt(input.value);
+    } else {                              // bool -> checkbox
+      input = document.createElement('input');
+      input.type = 'checkbox'; input.checked = spec.value;
+      input.onchange = () => optChanged[name] = input.checked;
+    }
+    label.appendChild(input);
+    odiv.appendChild(label);
   }
 });
+document.getElementById('tbtn').onclick = async () => {
+  document.getElementById('timings').textContent = 'measuring...';
+  const r = await fetch('/timings');
+  const t = await r.json();
+  document.getElementById('timings').textContent =
+    Object.entries(t).map(([k, v]) => `${k.padEnd(26)} ${(v * 1e3).toFixed(2)} ms`).join('\\n');
+};
+let lastW = 0, lastH = 0;
 async function loop() {
-  const input = {keys: [...keys], dx: acc.dx, dy: acc.dy, settings: {...changed}};
+  const input = {keys: [...keys], dx: acc.dx, dy: acc.dy,
+                 settings: {...changed}, options: {...optChanged}};
+  // window-resize refit (camera_system.cpp:10-17): ask the server to render
+  // at the window size, snapped to multiples of 8
+  const w = Math.max(64, Math.floor(window.innerWidth / 8) * 8);
+  const h = Math.max(64, Math.floor(window.innerHeight / 8) * 8);
+  if (w !== lastW || h !== lastH) { input.resize = [w, h]; lastW = w; lastH = h; }
   for (const k in changed) delete changed[k];
+  for (const k in optChanged) delete optChanged[k];
+  acc.dx = 0; acc.dy = 0;
   const r = await fetch('/frame', {method: 'POST', body: JSON.stringify(input)});
   const stats = JSON.parse(r.headers.get('X-Stats'));
   document.getElementById('stats').textContent =
@@ -94,6 +147,17 @@ _KNOBS = {
     "exposure": (0.01, 4.0, 0.01),
 }
 
+# static RenderOptions exposed for live flipping (gui_system.cpp:69-91);
+# each change switches to a (pre)compiled jit variant
+_OPTIONS = {
+    "output": {"choices": ["Combined", "Direct", "Indirect", "Variance"]},
+    "num_diffuse_bounces": {"min": 0, "max": 5},
+    "denoise": {},
+    "eaw5": {},
+    "gather": {},
+    "taa": {},
+}
+
 
 class ViewerState:
     def __init__(self, session):
@@ -105,7 +169,8 @@ class ViewerState:
         self.last_time = time.perf_counter()
         self.lock = threading.Lock()
 
-    def step(self, keys, dx, dy, settings_updates=None):
+    def step(self, keys, dx, dy, settings_updates=None, option_updates=None,
+             resize=None):
         now = time.perf_counter()
         dt_ms = min((now - self.last_time) * 1e3, 100.0)
         self.last_time = now
@@ -114,6 +179,10 @@ class ViewerState:
             self.rig.handle_keys(keys, dt_ms)
         if dx or dy:
             self.rig.handle_mouse(dx, dy, dt_ms)
+        if resize:
+            w, h = int(resize[0]), int(resize[1])
+            self.session.resize(w, h)
+            self.aspect = h / w
         if settings_updates:
             import jax.numpy as jnp
 
@@ -122,6 +191,17 @@ class ViewerState:
                 if name in cur:
                     cur[name] = jnp.float32(value)
             self.session.settings = type(self.session.settings)(**cur)
+        if option_updates:
+            import dataclasses
+
+            valid = {
+                k: v for k, v in option_updates.items()
+                if k in {f.name for f in dataclasses.fields(self.session.options)}
+            }
+            if valid:
+                self.session.use_options(
+                    dataclasses.replace(self.session.options, **valid)
+                )
         camera = self.rig.to_camera(self.focal, self.sensor_w, self.aspect)
         t0 = time.perf_counter()
         img = self.session.render(camera)
@@ -139,17 +219,38 @@ def _encode_jpeg(img: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def serve(session, port: int = 8089, host: str = "127.0.0.1"):
+def serve(session, port: int = 8089, host: str = "127.0.0.1", precompile: bool = True):
     state = ViewerState(session)
+
+    if precompile and session.scene_dev is not None:
+        # warm the common variants in the background so panel flips don't
+        # hitch; frames keep flowing from the base variant meanwhile
+        def _warm():
+            try:
+                with state.lock:
+                    n = session.precompile_variants()
+                print(f"precompiled {n} render variants")
+            except Exception as e:  # pragma: no cover - best effort
+                print(f"variant precompile failed: {e}")
+
+        threading.Thread(target=_warm, daemon=True).start()
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
 
+        def _json(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path.startswith("/settings"):
                 cur = state.session.settings._asdict()
-                cfg = {
+                knobs = {
                     name: {
                         "min": lo, "max": hi, "step": st,
                         "value": float(cur[name]),
@@ -157,12 +258,16 @@ def serve(session, port: int = 8089, host: str = "127.0.0.1"):
                     for name, (lo, hi, st) in _KNOBS.items()
                     if name in cur
                 }
-                body = json.dumps(cfg).encode()
-                self.send_response(200)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                opts = {}
+                for name, spec in _OPTIONS.items():
+                    value = getattr(state.session.options, name)
+                    opts[name] = dict(spec, value=value)
+                self._json({"knobs": knobs, "options": opts})
+                return
+            if self.path.startswith("/timings"):
+                with state.lock:
+                    t = state.session.measure_pass_timings(iters=2)
+                self._json(t)
                 return
             body = _PAGE.encode()
             self.send_response(200)
@@ -183,6 +288,8 @@ def serve(session, port: int = 8089, host: str = "127.0.0.1"):
                     float(payload.get("dx", 0)),
                     float(payload.get("dy", 0)),
                     payload.get("settings") or None,
+                    payload.get("options") or None,
+                    payload.get("resize"),
                 )
                 frame = int(state.session.state.frame_count)
             data = _encode_jpeg(img)

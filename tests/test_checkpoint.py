@@ -4,16 +4,18 @@ import os
 
 import numpy as np
 
-from capsaicin_tpu.render import RenderSession
+from capsaicin_tpu.render import RenderOptions, RenderSession
 from capsaicin_tpu.scene import build_scene
 from capsaicin_tpu.scene.procedural import cornell_box, make_camera
 
 W = H = 32
+# eaw5 off halves the CPU compile; serialization coverage is unchanged
+_OPT = RenderOptions(eaw5=False)
 
 
 def test_save_load_state_resumes(tmp_path):
     scene = build_scene(cornell_box())
-    s1 = RenderSession(width=W, height=H, traversal="brute")
+    s1 = RenderSession(width=W, height=H, traversal="brute", options=_OPT)
     s1.set_camera(make_camera("cornell", W, H))
     s1.set_scene(scene)
     for _ in range(3):
@@ -22,7 +24,7 @@ def test_save_load_state_resumes(tmp_path):
     s1.save_state(path)
     next_a = s1.render()
 
-    s2 = RenderSession(width=W, height=H, traversal="brute")
+    s2 = RenderSession(width=W, height=H, traversal="brute", options=_OPT)
     s2.set_camera(make_camera("cornell", W, H))
     s2.set_scene(scene)
     s2.load_state(path)

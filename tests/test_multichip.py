@@ -1,67 +1,46 @@
-"""Multi-chip sharding: the full frame step over a virtual 8-device mesh."""
+"""Multi-chip sharding: the full frame step over a virtual 8-device mesh.
 
-import numpy as np
-import jax
-import jax.numpy as jnp
-import pytest
+Both tests execute in subprocesses that pin JAX_PLATFORMS=cpu and
+--xla_force_host_platform_device_count=8, so the rest of the suite runs on
+a plain single-device backend (SPMD partitioning taxes every compile when
+the mesh is forced globally)."""
 
-from capsaicin_tpu.ops import lbvh
-from capsaicin_tpu.parallel import sharding as sh
-from capsaicin_tpu.render import pipeline
-from capsaicin_tpu.render.settings import RenderOptions, default_settings
-from capsaicin_tpu.render.traversal import make_traversal
-from capsaicin_tpu.scene import build_scene, textures
-from capsaicin_tpu.scene.procedural import cornell_box, make_camera
+import os
+import subprocess
+import sys
+
+N_DEV = 8
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
+def _mesh_env(n_dev: int) -> dict:
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        flags = (flags + f" --xla_force_host_platform_device_count={n_dev}").strip()
+    env["XLA_FLAGS"] = flags
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    env["PYTHONPATH"] = _REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
 def test_sharded_frame_matches_single_device():
-    n_dev = len(jax.devices())
-    width, height = 64, 8 * n_dev
-    options = RenderOptions()
-    scene_host = build_scene(cornell_box())
-    camera = make_camera("cornell", width, height)
-    settings = default_settings()
-    noise = jnp.asarray(textures.blue_noise_256())
-
-    def step(scene, bvh, camera, state, settings, noise):
-        closest, any_hit = make_traversal(scene, "bvh", bvh)
-        return pipeline.render_frame(
-            scene, closest, any_hit, camera, state, settings, noise,
-            width, height, options,
-        )
-
-    # single-device reference
-    scene1 = jax.device_put(scene_host)
-    tris = jnp.stack([scene1.tri_v0, scene1.tri_v1, scene1.tri_v2], axis=1)
-    bvh1 = lbvh.build_lbvh(tris, leaf_size=2)
-    state1 = pipeline.init_state(width, height, camera, options)
-    ref, ref_state = jax.jit(step)(scene1, bvh1, camera, state1, settings, noise)
-
-    # sharded run
-    mesh = sh.make_mesh()
-    scene8 = sh.shard_scene(mesh, scene_host)
-    bvh8 = jax.device_put(bvh1, sh.replicated(mesh))
-    state8 = sh.shard_frame_state(
-        mesh, pipeline.init_state(width, height, camera, options), height
+    impl = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_multichip_impl.py")
+    proc = subprocess.run(
+        [sys.executable, impl, str(N_DEV)],
+        env=_mesh_env(N_DEV), cwd=_REPO,
+        capture_output=True, text=True, timeout=540,
     )
-    step8 = sh.build_sharded_step(
-        mesh, step, height, state8, (scene8, bvh8, camera, state8, settings, noise)
-    )
-    out, out_state = step8(scene8, bvh8, camera, state8, settings, noise)
-
-    assert out.sharding.num_devices == n_dev
-    # sharded execution reassociates float reductions; allow small drift
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
-    assert int(out_state.frame_count) == 1
-
-    # second frame runs with the carried (sharded) state
-    out2, _ = step8(scene8, bvh8, camera, out_state, settings, noise)
-    assert np.all(np.isfinite(np.asarray(out2)))
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
 
 
-@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs a multi-device mesh")
 def test_graft_dryrun():
-    import __graft_entry__ as ge
+    # dryrun_multichip spawns its own CPU-pinned subprocess (the driver gate)
+    sys.path.insert(0, _REPO)
+    try:
+        import __graft_entry__ as ge
+    finally:
+        sys.path.pop(0)
 
-    ge.dryrun_multichip(len(jax.devices()))
+    ge.dryrun_multichip(N_DEV)

@@ -57,10 +57,12 @@ def test_frames_converge(cornell_session):
 
 
 def test_output_debug_modes():
-    for mode in (OUTPUT_DIRECT, OUTPUT_INDIRECT, OUTPUT_VARIANCE):
+    # DIRECT mode is covered by test_indirect_adds_energy; eaw5 off halves
+    # the CPU compile of each variant without losing combine() coverage
+    for mode in (OUTPUT_INDIRECT, OUTPUT_VARIANCE):
         s = RenderSession(
             width=32, height=32, traversal="brute",
-            options=RenderOptions(output=mode, taa=False),
+            options=RenderOptions(output=mode, taa=False, eaw5=False),
         )
         s.set_camera(make_camera("cornell", 32, 32))
         s.set_scene(build_scene(cornell_box()))
@@ -73,17 +75,17 @@ def test_indirect_adds_energy(cornell_session):
     from capsaicin_tpu.render.settings import OUTPUT_COMBINED
 
     s_direct = RenderSession(
-        width=W, height=H, traversal="brute",
-        options=RenderOptions(output=OUTPUT_DIRECT, taa=False),
+        width=32, height=32, traversal="brute",
+        options=RenderOptions(output=OUTPUT_DIRECT, taa=False, eaw5=False),
     )
-    s_direct.set_camera(make_camera("cornell", W, H))
+    s_direct.set_camera(make_camera("cornell", 32, 32))
     scene = build_scene(cornell_box())
     s_direct.set_scene(scene)
     s_comb = RenderSession(
-        width=W, height=H, traversal="brute",
-        options=RenderOptions(output=OUTPUT_COMBINED, taa=False),
+        width=32, height=32, traversal="brute",
+        options=RenderOptions(output=OUTPUT_COMBINED, taa=False, eaw5=False),
     )
-    s_comb.set_camera(make_camera("cornell", W, H))
+    s_comb.set_camera(make_camera("cornell", 32, 32))
     s_comb.set_scene(scene)
     for _ in range(3):
         d = s_direct.render()
@@ -94,7 +96,7 @@ def test_indirect_adds_energy(cornell_session):
 def test_lowres_indirect_path():
     s = RenderSession(
         width=64, height=64, traversal="brute",
-        options=RenderOptions(lowres_indirect=True),
+        options=RenderOptions(lowres_indirect=True, eaw5=False),
     )
     s.set_camera(make_camera("cornell", 64, 64))
     s.set_scene(build_scene(cornell_box()))
@@ -118,7 +120,7 @@ def test_multi_bounce_gi():
     the feedback path (float fraction clobbering the pixel grid)."""
     s = RenderSession(
         width=32, height=32, traversal="brute",
-        options=RenderOptions(num_diffuse_bounces=3),
+        options=RenderOptions(num_diffuse_bounces=3, eaw5=False),
     )
     s.set_camera(make_camera("cornell", 32, 32))
     s.set_scene(build_scene(cornell_box()))

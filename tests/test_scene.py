@@ -94,7 +94,16 @@ def test_textured_scene_atlas():
     floor = [i for i, m in enumerate(meshes) if m.name == "floor"][0]
     assert scene.mesh_texture[floor] >= 0
     assert scene.atlas.shape[0] >= 1
-    assert scene.atlas.shape[3] == 4
+    assert scene.atlas.shape[3] == 16  # quad-packed bilinear corners
+    # quad packing invariant: +x block at x equals base block at (x+1) % w
+    k = scene.mesh_texture[floor]
+    w = int(scene.atlas_size[k, 0])
+    np.testing.assert_array_equal(
+        scene.atlas[k, 0, : w - 1, 4:8], scene.atlas[k, 0, 1:w, 0:4]
+    )
+    np.testing.assert_array_equal(
+        scene.atlas[k, 0, w - 1, 4:8], scene.atlas[k, 0, 0, 0:4]
+    )
 
 
 def test_colonnade_tri_count():
@@ -109,3 +118,45 @@ def test_load_scene_obj_end_to_end(tmp_path):
     write_obj(path, meshes)
     scene = load_scene_obj(path)
     assert scene.num_triangles == 40
+
+
+def test_sample_atlas_matches_numpy_bilinear():
+    """The quad-packed one-gather fetch must equal an independent NumPy
+    wrap-mode bilinear sampler (SampleLevel on the bindless array,
+    scene.h:58)."""
+    import jax.numpy as jnp
+
+    from capsaicin_tpu.render.shading import sample_atlas
+
+    rng = np.random.default_rng(3)
+    img = rng.random((6, 9, 4)).astype(np.float32)  # h=6, w=9 (non-square)
+    meshes, _ = cornell_box_textured()
+    scene = build_scene(meshes, {"checker.png": img})
+    k = int(scene.mesh_texture[[i for i, m in enumerate(meshes)
+                                if m.texture_name][0]])
+
+    uv = rng.random((257, 2)).astype(np.float32) * 2.0 - 0.5  # incl. wraps
+    got = np.asarray(
+        sample_atlas(
+            jnp.asarray(scene.atlas), jnp.asarray(scene.atlas_size),
+            jnp.full((257,), k, jnp.int32), jnp.asarray(uv),
+        )
+    )
+
+    h, w = img.shape[:2]
+    xy = uv * np.array([w, h], np.float32) - 0.5
+    ix = np.floor(xy[:, 0]).astype(int)
+    iy = np.floor(xy[:, 1]).astype(int)
+    fx = (xy[:, 0] - ix)[:, None]
+    fy = (xy[:, 1] - iy)[:, None]
+
+    def at(jx, jy):
+        return img[np.mod(jy, h), np.mod(jx, w)]
+
+    want = (
+        at(ix, iy) * (1 - fx) * (1 - fy)
+        + at(ix + 1, iy) * fx * (1 - fy)
+        + at(ix, iy + 1) * (1 - fx) * fy
+        + at(ix + 1, iy + 1) * fx * fy
+    )
+    np.testing.assert_allclose(got, want, atol=2e-6)
