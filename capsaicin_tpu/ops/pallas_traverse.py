@@ -224,72 +224,70 @@ def _dfs_next_scalar(k):
     return jnp.where(up <= 1, 1, up + 1)
 
 
+INTERLEAVE = 1  # independent packet walks per kernel instance. Measured on
+# v5e: G=2 runs ~20x SLOWER (17.9s vs 0.94s colonnade primary) — the extra
+# live tiles across the per-walk branch regions push the kernel over the
+# vector-register spill cliff. Keep 1; the latency-overlap idea does not
+# survive Mosaic register allocation.
+
+
 def _traverse_kernel(
-    n_leaves, tri_rows, per_row, leaf_rows, any_hit, interpret,
+    n_leaves, tri_rows, per_row, leaf_rows, any_hit, interpret, g,
     rays_ref, nodes_ref, tris_ref,
     t_out, u_out, v_out, p_out,
 ):
-    ox = rays_ref[0, 0]
-    oy = rays_ref[0, 1]
-    oz = rays_ref[0, 2]
-    dx = rays_ref[0, 3]
-    dy = rays_ref[0, 4]
-    dz = rays_ref[0, 5]
-    tmin = rays_ref[0, 6]
-    tmax = rays_ref[0, 7]
-
-    def safe_inv(d):
-        tiny = jnp.abs(d) < 1e-12
-        return jnp.where(tiny, jnp.where(d < 0, -1e12, 1e12), 1.0 / jnp.where(tiny, 1.0, d))
-
-    ix = safe_inv(dx)
-    iy = safe_inv(dy)
-    iz = safe_inv(dz)
-
     # dynamic lane rotate: pltpu.roll on hardware, jnp.roll when interpreted
     roll_fn = jnp.roll if interpret else pltpu.roll
 
     max_steps = 4 * n_leaves + 64  # full DFS bound (safety cap)
 
-    # Traversal state (t/u/v/prim tiles) lives IN THE OUTPUT REFS and is
-    # mutated in place: carrying four [8,128] tiles through lax.while/cond
-    # costs a tile copy per carry per step, which dominated the step time.
-    # The while carry is three scalars.
-    t_out[0, 0] = tmax
-    u_out[0, 0] = jnp.zeros((SUB, LANE), jnp.float32)
-    v_out[0, 0] = jnp.zeros((SUB, LANE), jnp.float32)
-    if any_hit:
-        # dead lanes (padding, or retired by PackedBVHSet chunk culling:
-        # tmax < tmin) latch a fake hit so the every-lane-done early exit
-        # can actually fire on partial packets
-        p_out[0, 0] = jnp.where(tmax < tmin, 0, -1).astype(jnp.int32)
-    else:
-        p_out[0, 0] = jnp.full((SUB, LANE), -1, jnp.int32)
+    def safe_inv(d):
+        tiny = jnp.abs(d) < 1e-12
+        return jnp.where(tiny, jnp.where(d < 0, -1e12, 1e12), 1.0 / jnp.where(tiny, 1.0, d))
 
-    def body(state):
-        step, k, live_any = state
+    walks = []
+    for w in range(g):
+        ox = rays_ref[w, 0]
+        oy = rays_ref[w, 1]
+        oz = rays_ref[w, 2]
+        dx = rays_ref[w, 3]
+        dy = rays_ref[w, 4]
+        dz = rays_ref[w, 5]
+        tmin = rays_ref[w, 6]
+        tmax = rays_ref[w, 7]
+        walks.append(dict(
+            ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
+            ix=safe_inv(dx), iy=safe_inv(dy), iz=safe_inv(dz),
+            tmin=tmin, tmax=tmax,
+        ))
+        # Traversal state (t/u/v/prim tiles) lives IN THE OUTPUT REFS and is
+        # mutated in place: carrying [8,128] tiles through lax.while/cond
+        # costs a tile copy per carry per step. The while carry is scalars.
+        t_out[w, 0] = tmax
+        u_out[w, 0] = jnp.zeros((SUB, LANE), jnp.float32)
+        v_out[w, 0] = jnp.zeros((SUB, LANE), jnp.float32)
+        if any_hit:
+            # dead lanes (padding, or retired by PackedBVHSet chunk
+            # culling: tmax < tmin) latch a fake hit so the every-lane-done
+            # early exit can actually fire on partial packets
+            p_out[w, 0] = jnp.where(tmax < tmin, 0, -1).astype(jnp.int32)
+        else:
+            p_out[w, 0] = jnp.full((SUB, LANE), -1, jnp.int32)
 
-        # node AABB extraction: rotate the packed row so the node's 8-float
-        # record starts at lane 0, then take static rank-0 extracts (their
-        # scalar->tile broadcast is native). The previous one-hot
-        # lane-reduction extraction paid 6 full-tile reductions per step.
+    def box_test(w, k):
+        """Node AABB vs walk w's packet. Extraction: rotate the packed row
+        so the node's 8-float record starts at lane 0, then static rank-0
+        extracts (scalar->tile broadcast is native)."""
+        r = walks[w]
         row = nodes_ref[k // NODES_PER_ROW, :].reshape(1, 128)
         slot = (k % NODES_PER_ROW) * 8
         rec = roll_fn(row, (128 - slot) % 128, axis=1)
-
-        def pick(c):
-            return rec[0, c]
-
-        lo_x, lo_y, lo_z = pick(0), pick(1), pick(2)
-        hi_x, hi_y, hi_z = pick(3), pick(4), pick(5)
-
-        t_best = t_out[0, 0]
-        tx0 = (lo_x - ox) * ix
-        tx1 = (hi_x - ox) * ix
-        ty0 = (lo_y - oy) * iy
-        ty1 = (hi_y - oy) * iy
-        tz0 = (lo_z - oz) * iz
-        tz1 = (hi_z - oz) * iz
+        tx0 = (rec[0, 0] - r["ox"]) * r["ix"]
+        tx1 = (rec[0, 3] - r["ox"]) * r["ix"]
+        ty0 = (rec[0, 1] - r["oy"]) * r["iy"]
+        ty1 = (rec[0, 4] - r["oy"]) * r["iy"]
+        tz0 = (rec[0, 2] - r["oz"]) * r["iz"]
+        tz1 = (rec[0, 5] - r["oz"]) * r["iz"]
         t_near = jnp.maximum(
             jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
             jnp.minimum(tz0, tz1),
@@ -298,117 +296,152 @@ def _traverse_kernel(
             jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
             jnp.maximum(tz0, tz1),
         )
-        hit_box = (t_near <= t_far) & (t_far >= tmin) & (t_near <= t_best)
+        hit_box = (t_near <= t_far) & (t_far >= r["tmin"]) & (t_near <= t_out[w, 0])
         if any_hit:
             # retired lanes (prim latched) stop expanding boxes
-            hit_box = hit_box & (p_out[0, 0] < 0)
-        any_box = jnp.any(hit_box)
+            hit_box = hit_box & (p_out[w, 0] < 0)
+        return hit_box
 
-        is_leaf = k >= n_leaves
-        take_leaf = any_box & is_leaf
+    def leaf_tests(w, k):
+        r = walks[w]
+        ox, oy, oz = r["ox"], r["oy"], r["oz"]
+        dx, dy, dz = r["dx"], r["dy"], r["dz"]
+        tmin, tmax = r["tmin"], r["tmax"]
 
-        @pl.when(take_leaf)
-        def _leaf_tests():
-            def row_body(i, c):
-                t_best = t_out[0, 0]
-                u = u_out[0, 0]
-                v = v_out[0, 0]
-                prim = p_out[0, 0]
-                r = jnp.minimum((k - n_leaves) * leaf_rows + i, tri_rows - 1)
-                trow = tris_ref[r, :]  # [128]; in-row lanes are static below
-                for j in range(per_row):
-                    b = j * 10
-                    v0x, v0y, v0z = trow[b], trow[b + 1], trow[b + 2]
-                    e1x, e1y, e1z = trow[b + 3], trow[b + 4], trow[b + 5]
-                    e2x, e2y, e2z = trow[b + 6], trow[b + 7], trow[b + 8]
-                    tid = trow[b + 9].astype(jnp.int32) - 1
+        def row_body(i, c):
+            t_best = t_out[w, 0]
+            u = u_out[w, 0]
+            v = v_out[w, 0]
+            prim = p_out[w, 0]
+            rr = jnp.minimum((k - n_leaves) * leaf_rows + i, tri_rows - 1)
+            trow = tris_ref[rr, :]  # [128]; in-row lanes are static below
+            for j in range(per_row):
+                b = j * 10
+                v0x, v0y, v0z = trow[b], trow[b + 1], trow[b + 2]
+                e1x, e1y, e1z = trow[b + 3], trow[b + 4], trow[b + 5]
+                e2x, e2y, e2z = trow[b + 6], trow[b + 7], trow[b + 8]
+                tid = trow[b + 9].astype(jnp.int32) - 1
 
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv_det = jnp.where(
-                        jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
-                    )
-                    tvx = ox - v0x
-                    tvy = oy - v0y
-                    tvz = oz - v0z
-                    uu = (tvx * px + tvy * py + tvz * pz) * inv_det
-                    qx = tvy * e1z - tvz * e1y
-                    qy = tvz * e1x - tvx * e1z
-                    qz = tvx * e1y - tvy * e1x
-                    vv = (dx * qx + dy * qy + dz * qz) * inv_det
-                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    ok = (
-                        (jnp.abs(det) > 1e-12)
-                        & (uu >= 0.0)
-                        & (vv >= 0.0)
-                        & (uu + vv <= 1.0)
-                        & (tt > tmin)
-                        & (tt < jnp.minimum(tmax, t_best))
-                        & (tid >= 0)
-                    )
-                    if any_hit:
-                        ok = ok & (prim < 0)
-                    t_best = jnp.where(ok, tt, t_best)
-                    u = jnp.where(ok, uu, u)
-                    v = jnp.where(ok, vv, v)
-                    prim = jnp.where(ok, tid, prim)
-                t_out[0, 0] = t_best
-                u_out[0, 0] = u
-                v_out[0, 0] = v
-                p_out[0, 0] = prim
-                return c
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(
+                    jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+                )
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = (
+                    (jnp.abs(det) > 1e-12)
+                    & (uu >= 0.0)
+                    & (vv >= 0.0)
+                    & (uu + vv <= 1.0)
+                    & (tt > tmin)
+                    & (tt < jnp.minimum(tmax, t_best))
+                    & (tid >= 0)
+                )
+                if any_hit:
+                    ok = ok & (prim < 0)
+                t_best = jnp.where(ok, tt, t_best)
+                u = jnp.where(ok, uu, u)
+                v = jnp.where(ok, vv, v)
+                prim = jnp.where(ok, tid, prim)
+            t_out[w, 0] = t_best
+            u_out[w, 0] = u
+            v_out[w, 0] = v
+            p_out[w, 0] = prim
+            return c
 
-            if leaf_rows == 1:
-                row_body(0, 0)
-            else:
-                # loop (not unroll) over leaf rows: the live set stays at
-                # one row's 8 triangles, below the register-spill cliff
-                jax.lax.fori_loop(0, leaf_rows, row_body, 0)
+        if leaf_rows == 1:
+            row_body(0, 0)
+        else:
+            # loop (not unroll) over leaf rows: the live set stays at one
+            # row's 8 triangles, below the register-spill cliff
+            jax.lax.fori_loop(0, leaf_rows, row_body, 0)
 
-        if any_hit:
-            # refresh the early-exit flag only after leaf work (scalar cond)
-            live_any = jax.lax.cond(
-                take_leaf,
-                lambda _: jnp.any(p_out[0, 0] < 0),
-                lambda _: live_any,
-                0,
-            )
+    def body(state):
+        step = state[0]
+        ks = state[1:1 + g]
+        lives = state[1 + g:]
 
-        descend = any_box & (~is_leaf)
-        k = jnp.where(descend, 2 * k, _dfs_next_scalar(k))
-        return step + 1, k, live_any
+        # all walks' box tests first: independent scalar/vector chains the
+        # scheduler can overlap; branches (leaf bodies) come after
+        tests = [box_test(w, ks[w]) for w in range(g)]
+
+        new_ks = []
+        new_lives = []
+        for w in range(g):
+            k = ks[w]
+            any_box = jnp.any(tests[w])
+            is_leaf = k >= n_leaves
+            take_leaf = any_box & is_leaf
+
+            @pl.when(take_leaf)
+            def _(w=w, k=k):
+                leaf_tests(w, k)
+
+            live = lives[w]
+            if any_hit:
+                # refresh the early-exit flag only after leaf work
+                live = jax.lax.cond(
+                    take_leaf,
+                    lambda _, w=w: jnp.any(p_out[w, 0] < 0),
+                    lambda _, live=live: live,
+                    0,
+                )
+            descend = any_box & (~is_leaf)
+            new_ks.append(jnp.where(descend, 2 * k, _dfs_next_scalar(k)))
+            new_lives.append(live)
+        return (step + 1, *new_ks, *new_lives)
 
     def cond(state):
-        step, k, live_any = state
-        more = (k > 1) & (step < max_steps)
-        if any_hit:
-            more = more & live_any
-        return more
+        step = state[0]
+        ks = state[1:1 + g]
+        lives = state[1 + g:]
+        more = jnp.bool_(False)
+        for w in range(g):
+            live_w = (ks[w] > 1) & lives[w] if any_hit else (ks[w] > 1)
+            more = more | live_w
+        return more & (step < max_steps)
 
-    init = (
-        jnp.int32(0),
-        jnp.int32(2),  # the root box always contains the scene; start below
-        jnp.any(p_out[0, 0] < 0) if any_hit else jnp.bool_(True),
+    init_lives = tuple(
+        jnp.any(p_out[w, 0] < 0) if any_hit else jnp.bool_(True)
+        for w in range(g)
     )
+    # the root box always contains the scene; start below it
+    init = (jnp.int32(0),) + (jnp.int32(2),) * g + init_lives
     jax.lax.while_loop(cond, body, init)
 
 
 def _run(packed: PackedBVH, rays_tiled, any_hit: bool):
+    g = INTERLEAVE
     np_ = rays_tiled.shape[0]
+    if np_ % g:
+        # pad with dead packets (tmax = -1 accepts nothing; under any_hit
+        # they latch instantly and never stall the early exit)
+        pad = jnp.zeros((g - np_ % g,) + rays_tiled.shape[1:], jnp.float32)
+        pad = pad.at[:, 7].set(-1.0)
+        rays_tiled = jnp.concatenate([rays_tiled, pad])
+    npad = rays_tiled.shape[0]
     kernel = functools.partial(
         _traverse_kernel, packed.n_leaves, packed.tris.shape[0],
-        packed.per_row, packed.leaf_rows, any_hit, _use_interpret(),
+        packed.per_row, packed.leaf_rows, any_hit, _use_interpret(), g,
     )
-    f32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.float32)
-    i32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.int32)
-    out_spec = pl.BlockSpec((1, 1, SUB, LANE), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((npad, 1, SUB, LANE), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((npad, 1, SUB, LANE), jnp.int32)
+    out_spec = pl.BlockSpec((g, 1, SUB, LANE), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM)
     t, u, v, prim = pl.pallas_call(
         kernel,
-        grid=(np_,),
+        grid=(npad // g,),
         in_specs=[
-            pl.BlockSpec((1, 8, SUB, LANE), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 8, SUB, LANE), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(packed.nodes.shape, lambda p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(packed.tris.shape, lambda p: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -416,7 +449,7 @@ def _run(packed: PackedBVH, rays_tiled, any_hit: bool):
         out_shape=(f32, f32, f32, i32),
         interpret=_use_interpret(),
     )(rays_tiled, packed.nodes, packed.tris)
-    return t, u, v, prim
+    return t[:np_], u[:np_], v[:np_], prim[:np_]
 
 
 def _untile(x, n):
@@ -474,9 +507,11 @@ def bvh_any(packed, origins, dirs, tmin=1e-4, tmax=1e6):
     return _untile(prim, n) >= 0
 
 
-def sort_rays_for_traversal(origins, dirs):
+def sort_rays_for_traversal(origins, dirs, dead=None):
     """Morton-ish coherence sort key for bounce rays: quantized direction
-    octant + origin morton. Returns (order, inverse_order)."""
+    octant + origin morton. `dead` lanes (masked-off rays, tmax < tmin)
+    sort LAST so they fill whole packets that retire in ~2 node steps
+    instead of polluting live packets. Returns (order, inverse_order)."""
     from .lbvh import morton_codes
 
     lo = jnp.min(origins, axis=0)
@@ -487,7 +522,9 @@ def sort_rays_for_traversal(origins, dirs):
         + (dirs[:, 1] > 0).astype(jnp.uint32) * 2
         + (dirs[:, 2] > 0).astype(jnp.uint32)
     )
-    key = (oct_key << 29) | (om >> 3)
+    key = (oct_key << 28) | (om >> 4)
+    if dead is not None:
+        key = key | (dead.astype(jnp.uint32) << 31)
     order = jnp.argsort(key)
     inverse = jnp.argsort(order)
     return order, inverse

@@ -126,7 +126,15 @@ def direct_lighting(scene, any_fn, camera, gb, width, height, frame_count, optio
     black = jnp.all(kd < 1e-5, axis=-1)
 
     ldir, unshadowed = shading.direct_illumination_terms(p, n, kd, frame_count)
-    shadow_hit = any_fn(p, ldir, shading.SHADOW_TMIN, shading.LIGHT_DISTANCE)
+    # dead-lane retirement: rays whose result is provably unused (primary
+    # miss, black albedo, or facing away from the light -> unshadowed == 0)
+    # get tmax < tmin; the traversal kernels retire them in ~2 node steps
+    # and the sort wrappers pack them into whole dead packets
+    live = ~_flat(miss) & ~black & jnp.any(unshadowed > 0.0, axis=-1)
+    shadow_hit = any_fn(
+        p, ldir, shading.SHADOW_TMIN,
+        jnp.where(live, shading.LIGHT_DISTANCE, -1.0),
+    )
     di = jnp.where(shadow_hit[..., None], 0.0, unshadowed)
 
     depth = jnp.sqrt(jnp.sum((camera.position - p) ** 2, axis=-1))
@@ -306,8 +314,16 @@ def indirect_gi(
             else:
                 nee_mask = active
             bounce_any = any_bounce_fn or any_fn
-            shadow_hit = bounce_any(p, ldir, shading.SHADOW_TMIN, shading.LIGHT_DISTANCE)
-            add = jnp.where((nee_mask & ~shadow_hit)[..., None], throughput * unshadowed, 0.0)
+            # retire NEE rays whose contribution is provably zero (masked
+            # lanes or surface facing away from the light)
+            nee_live = nee_mask & jnp.any(unshadowed > 0.0, axis=-1)
+            shadow_hit = bounce_any(
+                p, ldir, shading.SHADOW_TMIN,
+                jnp.where(nee_live, shading.LIGHT_DISTANCE, -1.0),
+            )
+            add = jnp.where(
+                (nee_live & ~shadow_hit)[..., None], throughput * unshadowed, 0.0
+            )
             color = color + add
 
         if bounce == options.num_diffuse_bounces:
@@ -331,7 +347,9 @@ def indirect_gi(
             throughput = throughput * kd
 
         bounce_trace = closest_bounce_fn or closest_fn
-        hit = bounce_trace(p, d, 1e-4, 1e5)
+        # inactive lanes trace with tmax < tmin: the kernel retires them
+        # and the sort wrapper groups them into dead packets
+        hit = bounce_trace(p, d, 1e-4, jnp.where(active, 1e5, -1.0))
         prim = jnp.where(active, hit["prim"], -1)
         u = hit["u"]
         v = hit["v"]

@@ -143,8 +143,13 @@ def with_ray_sorting(closest_fn):
     from ..ops.pallas_traverse import sort_rays_for_traversal
 
     def sorted_closest(origins, dirs, tmin, tmax):
-        order, inverse = sort_rays_for_traversal(origins, dirs)
-        out = closest_fn(origins[order], dirs[order], tmin, tmax)
+        tmax_arr = jnp.broadcast_to(
+            jnp.asarray(tmax, jnp.float32), origins.shape[:1]
+        )
+        order, inverse = sort_rays_for_traversal(
+            origins, dirs, dead=tmax_arr < tmin
+        )
+        out = closest_fn(origins[order], dirs[order], tmin, tmax_arr[order])
         return {k: v[inverse] for k, v in out.items()}
 
     return sorted_closest
@@ -156,7 +161,12 @@ def with_ray_sorting_any(any_fn):
     from ..ops.pallas_traverse import sort_rays_for_traversal
 
     def sorted_any(origins, dirs, tmin, tmax):
-        order, inverse = sort_rays_for_traversal(origins, dirs)
-        return any_fn(origins[order], dirs[order], tmin, tmax)[inverse]
+        tmax_arr = jnp.broadcast_to(
+            jnp.asarray(tmax, jnp.float32), origins.shape[:1]
+        )
+        order, inverse = sort_rays_for_traversal(
+            origins, dirs, dead=tmax_arr < tmin
+        )
+        return any_fn(origins[order], dirs[order], tmin, tmax_arr[order])[inverse]
 
     return sorted_any

@@ -6,6 +6,10 @@ raytracing_system.cpp:1024...) plus the whole-frame time, in ms.
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import time
 
