@@ -68,7 +68,10 @@ CHUNK_TRIS_CAP = 150_000
 
 def pack_tri_rows(v0, e1, e2, tri_id, per_row: int = TRIS_PER_ROW):
     """[T,3]x3 + [T] -> [ceil(T/per_row), 128] rows, tri j at lanes
-    j*10..+10 as (v0 xyz, e1 xyz, e2 xyz, tid+1); 0 id marks padding."""
+    j*10..+10 as (v0 xyz, e1 xyz, e2 xyz, tid+1); 0 id marks padding.
+    Lanes per_row*10..+6 carry the row's own AABB (min xyz, max xyz) so
+    multi-row leaves can skip whole rows with one cheap box test; all-padding
+    rows get an inverted box that never hits."""
     t = v0.shape[0]
     tid_f = (tri_id + 1).astype(jnp.float32)
     rec = jnp.concatenate([v0, e1, e2, tid_f[:, None]], axis=1)  # [T, 10]
@@ -77,8 +80,23 @@ def pack_tri_rows(v0, e1, e2, tri_id, per_row: int = TRIS_PER_ROW):
     if pad:
         rec = jnp.concatenate([rec, jnp.zeros((pad, 10), jnp.float32)])
     packed = rec.reshape(rows, per_row * 10)
+
+    valid = (jnp.concatenate([tri_id, jnp.full((pad,), -1, tri_id.dtype)])
+             >= 0)[:, None]
+    p0 = jnp.concatenate([v0, jnp.zeros((pad, 3), jnp.float32)])
+    e1p = jnp.concatenate([e1, jnp.zeros((pad, 3), jnp.float32)])
+    e2p = jnp.concatenate([e2, jnp.zeros((pad, 3), jnp.float32)])
+    corner_min = jnp.minimum(jnp.minimum(p0, p0 + e1p), p0 + e2p)
+    corner_max = jnp.maximum(jnp.maximum(p0, p0 + e1p), p0 + e2p)
+    corner_min = jnp.where(valid, corner_min, INF)
+    corner_max = jnp.where(valid, corner_max, -INF)
+    row_min = corner_min.reshape(rows, per_row, 3).min(axis=1)
+    row_max = corner_max.reshape(rows, per_row, 3).max(axis=1)
+    aabb = jnp.concatenate([row_min, row_max], axis=1)  # [rows, 6]
+
+    tail_pad = 128 - per_row * 10 - 6
     return jnp.concatenate(
-        [packed, jnp.zeros((rows, 128 - per_row * 10), jnp.float32)], axis=1
+        [packed, aabb, jnp.zeros((rows, tail_pad), jnp.float32)], axis=1
     )
 
 
@@ -177,8 +195,22 @@ def pack_bvh(bvh: BVH, n_real_tris=None) -> PackedBVH:
     assert leaf % per_row == 0, f"leaf_size {leaf} must be a multiple of rows"
     n2 = bvh.nodes_min.shape[0]
     rows_n = -(-n2 // NODES_PER_ROW)
+    # per-sibling-pair traversal ordering code, stored in slot 6 of the LEFT
+    # child's record (the kernel fetches child pairs, never the parent):
+    # axis = argmax |center(right) - center(left)|, +4 if left is the
+    # lower-coordinate child. Values 0..7, exact in f32.
+    centers = (bvh.nodes_min + bvh.nodes_max) * 0.5
+    cl = centers[2::2]  # even nodes 2, 4, ... (left children)
+    cr = centers[3::2]
+    diff = cr - cl
+    axis = jnp.argmax(jnp.abs(diff), axis=1)
+    low = jnp.take_along_axis(diff, axis[:, None], axis=1)[:, 0] >= 0
+    code = (axis + 4 * low.astype(jnp.int32)).astype(jnp.float32)
+    codes = jnp.zeros((n2,), jnp.float32)
+    codes = codes.at[2::2].set(code)
     node_rec = jnp.concatenate(
-        [bvh.nodes_min, bvh.nodes_max, jnp.zeros((n2, 2), jnp.float32)], axis=1
+        [bvh.nodes_min, bvh.nodes_max, codes[:, None],
+         jnp.zeros((n2, 1), jnp.float32)], axis=1
     )  # [2L, 8]
     pad = rows_n * NODES_PER_ROW - n2
     if pad:
@@ -224,70 +256,80 @@ def _dfs_next_scalar(k):
     return jnp.where(up <= 1, 1, up + 1)
 
 
-INTERLEAVE = 1  # independent packet walks per kernel instance. Measured on
-# v5e: G=2 runs ~20x SLOWER (17.9s vs 0.94s colonnade primary) — the extra
-# live tiles across the per-walk branch regions push the kernel over the
-# vector-register spill cliff. Keep 1; the latency-overlap idea does not
-# survive Mosaic register allocation.
+# A 2-packet interleaved-walk variant was tried to overlap the scalar
+# node-stepping latency; it ran ~20x SLOWER on v5e (extra live tiles across
+# the doubled branch regions cross the vector-register spill cliff). The
+# kernel therefore stays single-walk and instead minimizes WORK: ordered
+# (near-child-first) stack traversal with sibling-pair fetches.
+
+STACK_DEPTH = 32  # >= tree depth (<= log2(2^14 leaves) for the VMEM cap)
 
 
 def _traverse_kernel(
-    n_leaves, tri_rows, per_row, leaf_rows, any_hit, interpret, g,
+    n_leaves, tri_rows, per_row, leaf_rows, any_hit, interpret,
     rays_ref, nodes_ref, tris_ref,
-    t_out, u_out, v_out, p_out,
+    t_out, u_out, v_out, p_out, stack_ref,
 ):
-    # dynamic lane rotate: pltpu.roll on hardware, jnp.roll when interpreted
+    """Ordered stack traversal, one sibling PAIR per fetch.
+
+    The walk pointer k is always an INTERNAL node; each step rotates the
+    children pair (2k, 2k+1) into lanes 0..15 with ONE dynamic lane rotate,
+    box-tests both, and descends into the near child first (near/far chosen
+    from the pair's split-axis code, slot 6 of the left child's record,
+    against the packet-representative ray direction sign). The far child of
+    a both-hit pair goes on a scalar SMEM stack. Near-first ordering
+    tightens t_best early, so popped far subtrees usually fail their box
+    tests immediately — the classic closest-hit pruning DXR hardware does,
+    expressed packet-wide.
+    """
     roll_fn = jnp.roll if interpret else pltpu.roll
 
-    max_steps = 4 * n_leaves + 64  # full DFS bound (safety cap)
+    max_steps = 4 * n_leaves + 64  # safety cap
+
+    ox = rays_ref[0, 0]
+    oy = rays_ref[0, 1]
+    oz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    tmin = rays_ref[0, 6]
+    tmax = rays_ref[0, 7]
 
     def safe_inv(d):
         tiny = jnp.abs(d) < 1e-12
         return jnp.where(tiny, jnp.where(d < 0, -1e12, 1e12), 1.0 / jnp.where(tiny, 1.0, d))
 
-    walks = []
-    for w in range(g):
-        ox = rays_ref[w, 0]
-        oy = rays_ref[w, 1]
-        oz = rays_ref[w, 2]
-        dx = rays_ref[w, 3]
-        dy = rays_ref[w, 4]
-        dz = rays_ref[w, 5]
-        tmin = rays_ref[w, 6]
-        tmax = rays_ref[w, 7]
-        walks.append(dict(
-            ox=ox, oy=oy, oz=oz, dx=dx, dy=dy, dz=dz,
-            ix=safe_inv(dx), iy=safe_inv(dy), iz=safe_inv(dz),
-            tmin=tmin, tmax=tmax,
-        ))
-        # Traversal state (t/u/v/prim tiles) lives IN THE OUTPUT REFS and is
-        # mutated in place: carrying [8,128] tiles through lax.while/cond
-        # costs a tile copy per carry per step. The while carry is scalars.
-        t_out[w, 0] = tmax
-        u_out[w, 0] = jnp.zeros((SUB, LANE), jnp.float32)
-        v_out[w, 0] = jnp.zeros((SUB, LANE), jnp.float32)
-        if any_hit:
-            # dead lanes (padding, or retired by PackedBVHSet chunk
-            # culling: tmax < tmin) latch a fake hit so the every-lane-done
-            # early exit can actually fire on partial packets
-            p_out[w, 0] = jnp.where(tmax < tmin, 0, -1).astype(jnp.int32)
-        else:
-            p_out[w, 0] = jnp.full((SUB, LANE), -1, jnp.int32)
+    ix = safe_inv(dx)
+    iy = safe_inv(dy)
+    iz = safe_inv(dz)
 
-    def box_test(w, k):
-        """Node AABB vs walk w's packet. Extraction: rotate the packed row
-        so the node's 8-float record starts at lane 0, then static rank-0
-        extracts (scalar->tile broadcast is native)."""
-        r = walks[w]
-        row = nodes_ref[k // NODES_PER_ROW, :].reshape(1, 128)
-        slot = (k % NODES_PER_ROW) * 8
-        rec = roll_fn(row, (128 - slot) % 128, axis=1)
-        tx0 = (rec[0, 0] - r["ox"]) * r["ix"]
-        tx1 = (rec[0, 3] - r["ox"]) * r["ix"]
-        ty0 = (rec[0, 1] - r["oy"]) * r["iy"]
-        ty1 = (rec[0, 4] - r["oy"]) * r["iy"]
-        tz0 = (rec[0, 2] - r["oz"]) * r["iz"]
-        tz1 = (rec[0, 5] - r["oz"]) * r["iz"]
+    # packet-representative direction signs for near/far ordering (packets
+    # are direction-octant sorted, so lane (0,0) represents the packet;
+    # wrong-sign lanes only lose the ordering heuristic, never correctness)
+    sd0 = dx[0, 0] > 0
+    sd1 = dy[0, 0] > 0
+    sd2 = dz[0, 0] > 0
+
+    # Traversal state (t/u/v/prim tiles) lives IN THE OUTPUT REFS and is
+    # mutated in place; the while carry is scalars only.
+    t_out[0, 0] = tmax
+    u_out[0, 0] = jnp.zeros((SUB, LANE), jnp.float32)
+    v_out[0, 0] = jnp.zeros((SUB, LANE), jnp.float32)
+    if any_hit:
+        # dead lanes (padding, or retired by PackedBVHSet chunk culling:
+        # tmax < tmin) latch a fake hit so the every-lane-done early exit
+        # can actually fire on partial packets
+        p_out[0, 0] = jnp.where(tmax < tmin, 0, -1).astype(jnp.int32)
+    else:
+        p_out[0, 0] = jnp.full((SUB, LANE), -1, jnp.int32)
+
+    def box_from(rec, base, t_best, prim):
+        tx0 = (rec[0, base + 0] - ox) * ix
+        tx1 = (rec[0, base + 3] - ox) * ix
+        ty0 = (rec[0, base + 1] - oy) * iy
+        ty1 = (rec[0, base + 4] - oy) * iy
+        tz0 = (rec[0, base + 2] - oz) * iz
+        tz1 = (rec[0, base + 5] - oz) * iz
         t_near = jnp.maximum(
             jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
             jnp.minimum(tz0, tz1),
@@ -296,25 +338,27 @@ def _traverse_kernel(
             jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
             jnp.maximum(tz0, tz1),
         )
-        hit_box = (t_near <= t_far) & (t_far >= r["tmin"]) & (t_near <= t_out[w, 0])
+        hit = (t_near <= t_far) & (t_far >= tmin) & (t_near <= t_best)
         if any_hit:
-            # retired lanes (prim latched) stop expanding boxes
-            hit_box = hit_box & (p_out[w, 0] < 0)
-        return hit_box
+            hit = hit & (prim < 0)  # retired lanes stop expanding boxes
+        return hit
 
-    def leaf_tests(w, k):
-        r = walks[w]
-        ox, oy, oz = r["ox"], r["oy"], r["oz"]
-        dx, dy, dz = r["dx"], r["dy"], r["dz"]
-        tmin, tmax = r["tmin"], r["tmax"]
-
+    def leaf_tests(k):
         def row_body(i, c):
-            t_best = t_out[w, 0]
-            u = u_out[w, 0]
-            v = v_out[w, 0]
-            prim = p_out[w, 0]
             rr = jnp.minimum((k - n_leaves) * leaf_rows + i, tri_rows - 1)
             trow = tris_ref[rr, :]  # [128]; in-row lanes are static below
+            # NOTE: lanes per_row*10..+6 carry the row's own AABB. A
+            # per-row box pretest here was tried and measured ~8% SLOWER
+            # (the per-row any() reduce + branch costs more than the
+            # skipped triangle math on v5e) — rows run unconditionally.
+            _row_tri_tests(trow)
+            return c
+
+        def _row_tri_tests(trow):
+            t_best = t_out[0, 0]
+            u = u_out[0, 0]
+            v = v_out[0, 0]
+            prim = p_out[0, 0]
             for j in range(per_row):
                 b = j * 10
                 v0x, v0y, v0z = trow[b], trow[b + 1], trow[b + 2]
@@ -353,11 +397,10 @@ def _traverse_kernel(
                 u = jnp.where(ok, uu, u)
                 v = jnp.where(ok, vv, v)
                 prim = jnp.where(ok, tid, prim)
-            t_out[w, 0] = t_best
-            u_out[w, 0] = u
-            v_out[w, 0] = v
-            p_out[w, 0] = prim
-            return c
+            t_out[0, 0] = t_best
+            u_out[0, 0] = u
+            v_out[0, 0] = v
+            p_out[0, 0] = prim
 
         if leaf_rows == 1:
             row_body(0, 0)
@@ -367,89 +410,106 @@ def _traverse_kernel(
             jax.lax.fori_loop(0, leaf_rows, row_body, 0)
 
     def body(state):
-        step = state[0]
-        ks = state[1:1 + g]
-        lives = state[1 + g:]
+        step, k, sp, live = state
+        c0 = 2 * k
+        # one rotate exposes BOTH children records (left at lanes 0..7,
+        # right at 8..15; c0 is even so the pair never crosses a row)
+        row = nodes_ref[c0 // NODES_PER_ROW, :].reshape(1, 128)
+        slot = (c0 % NODES_PER_ROW) * 8
+        rec = roll_fn(row, (128 - slot) % 128, axis=1)
+        t_best = t_out[0, 0]
+        prim = p_out[0, 0]
+        hitL = box_from(rec, 0, t_best, prim)
+        hitR = box_from(rec, 8, t_best, prim)
+        anyL = jnp.any(hitL)
+        anyR = jnp.any(hitR)
+        kids_leaf = c0 >= n_leaves
 
-        # all walks' box tests first: independent scalar/vector chains the
-        # scheduler can overlap; branches (leaf bodies) come after
-        tests = [box_test(w, ks[w]) for w in range(g)]
+        @pl.when(kids_leaf & anyL)
+        def _():
+            leaf_tests(c0)
 
-        new_ks = []
-        new_lives = []
-        for w in range(g):
-            k = ks[w]
-            any_box = jnp.any(tests[w])
-            is_leaf = k >= n_leaves
-            take_leaf = any_box & is_leaf
+        @pl.when(kids_leaf & anyR)
+        def _():
+            leaf_tests(c0 + 1)
 
-            @pl.when(take_leaf)
-            def _(w=w, k=k):
-                leaf_tests(w, k)
+        if any_hit:
+            # refresh the early-exit flag only after leaf work
+            live = jax.lax.cond(
+                kids_leaf & (anyL | anyR),
+                lambda _: jnp.any(p_out[0, 0] < 0),
+                lambda _: live,
+                0,
+            )
 
-            live = lives[w]
-            if any_hit:
-                # refresh the early-exit flag only after leaf work
-                live = jax.lax.cond(
-                    take_leaf,
-                    lambda _, w=w: jnp.any(p_out[w, 0] < 0),
-                    lambda _, live=live: live,
-                    0,
-                )
-            descend = any_box & (~is_leaf)
-            new_ks.append(jnp.where(descend, 2 * k, _dfs_next_scalar(k)))
-            new_lives.append(live)
-        return (step + 1, *new_ks, *new_lives)
+        # near/far from the pair's split-axis code (slot 6 of left child)
+        code = rec[0, 6].astype(jnp.int32)
+        axis = code & 3
+        left_low = code >= 4
+        d_pos = jnp.where(axis == 0, sd0, jnp.where(axis == 1, sd1, sd2))
+        near_left = d_pos == left_low
+        any_near = jnp.where(near_left, anyL, anyR)
+        any_far = jnp.where(near_left, anyR, anyL)
+        near = jnp.where(near_left, c0, c0 + 1)
+        far = jnp.where(near_left, c0 + 1, c0)
+
+        both = any_near & any_far & (~kids_leaf)
+
+        @pl.when(both)
+        def _():
+            stack_ref[sp] = far
+
+        sp1 = sp + both.astype(jnp.int32)
+        desc = jnp.where(
+            (~kids_leaf) & any_near, near,
+            jnp.where((~kids_leaf) & any_far, far, 0),
+        )
+        need_pop = desc == 0
+        spm = jnp.maximum(sp1 - 1, 0)
+        popped = jnp.where(sp1 > 0, stack_ref[spm], 0)
+        k_next = jnp.where(need_pop, popped, desc)
+        sp_next = jnp.where(need_pop, spm, sp1)
+        return step + 1, k_next, sp_next, live
 
     def cond(state):
-        step = state[0]
-        ks = state[1:1 + g]
-        lives = state[1 + g:]
-        more = jnp.bool_(False)
-        for w in range(g):
-            live_w = (ks[w] > 1) & lives[w] if any_hit else (ks[w] > 1)
-            more = more | live_w
-        return more & (step < max_steps)
+        step, k, sp, live = state
+        more = (k > 0) & (step < max_steps)
+        if any_hit:
+            more = more & live
+        return more
 
-    init_lives = tuple(
-        jnp.any(p_out[w, 0] < 0) if any_hit else jnp.bool_(True)
-        for w in range(g)
+    init = (
+        jnp.int32(0),
+        jnp.int32(1),  # root (always internal; builds guarantee >= 2 leaves)
+        jnp.int32(0),
+        jnp.any(p_out[0, 0] < 0) if any_hit else jnp.bool_(True),
     )
-    # the root box always contains the scene; start below it
-    init = (jnp.int32(0),) + (jnp.int32(2),) * g + init_lives
     jax.lax.while_loop(cond, body, init)
 
 
 def _run(packed: PackedBVH, rays_tiled, any_hit: bool):
-    g = INTERLEAVE
     np_ = rays_tiled.shape[0]
-    if np_ % g:
-        # pad with dead packets (tmax = -1 accepts nothing; under any_hit
-        # they latch instantly and never stall the early exit)
-        pad = jnp.zeros((g - np_ % g,) + rays_tiled.shape[1:], jnp.float32)
-        pad = pad.at[:, 7].set(-1.0)
-        rays_tiled = jnp.concatenate([rays_tiled, pad])
-    npad = rays_tiled.shape[0]
     kernel = functools.partial(
         _traverse_kernel, packed.n_leaves, packed.tris.shape[0],
-        packed.per_row, packed.leaf_rows, any_hit, _use_interpret(), g,
+        packed.per_row, packed.leaf_rows, any_hit, _use_interpret(),
     )
-    f32 = jax.ShapeDtypeStruct((npad, 1, SUB, LANE), jnp.float32)
-    i32 = jax.ShapeDtypeStruct((npad, 1, SUB, LANE), jnp.int32)
-    out_spec = pl.BlockSpec((g, 1, SUB, LANE), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM)
+    f32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.int32)
+    out_spec = pl.BlockSpec((1, 1, SUB, LANE), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM)
     t, u, v, prim = pl.pallas_call(
         kernel,
-        grid=(npad // g,),
+        grid=(np_,),
         in_specs=[
-            pl.BlockSpec((g, 8, SUB, LANE), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, SUB, LANE), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(packed.nodes.shape, lambda p: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(packed.tris.shape, lambda p: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(out_spec, out_spec, out_spec, out_spec),
         out_shape=(f32, f32, f32, i32),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         interpret=_use_interpret(),
     )(rays_tiled, packed.nodes, packed.tris)
-    return t[:np_], u[:np_], v[:np_], prim[:np_]
+    return t, u, v, prim
 
 
 def _untile(x, n):
