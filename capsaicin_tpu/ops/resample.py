@@ -145,3 +145,40 @@ def resample_bicubic(img, uv, dims):
     """
     taps, weights, offs = bicubic_taps(img, uv, dims)
     return bicubic_combine(taps, weights, offs)
+
+
+def upsample2x_bilinear(img):
+    """[h,w,C] -> [2h,2w,C]: exactly sample_bilinear(img, identity_uv of the
+    doubled grid, (w,h)) — including uv_to_xy's upper clamp, which collapses
+    the last two output rows/cols to a 0.5/0.5 blend of the last two inputs
+    — built from shifts and interleaves with ZERO gathers. This is the
+    UPSCALE2X current-color fetch of the SVGF accumulate pass
+    (temporal_accumulation.hlsl:228-232): its sample position is always the
+    identity map, so the general gather is pure waste on TPU.
+    """
+
+    def up(a, axis):
+        n = a.shape[axis]
+        sl = [slice(None)] * a.ndim
+
+        def take(i0, i1):
+            s = list(sl)
+            s[axis] = slice(i0, i1)
+            return a[tuple(s)]
+
+        m1 = jnp.concatenate([take(0, 1), take(0, n - 1)], axis=axis)
+        p1 = jnp.concatenate([take(1, n), take(n - 1, n)], axis=axis)
+        even = 0.25 * m1 + 0.75 * a
+        odd = 0.75 * a + 0.25 * p1
+        out = jnp.stack([even, odd], axis=axis + 1)
+        shape = list(a.shape)
+        shape[axis] = 2 * n
+        out = out.reshape(shape)
+        edge = 0.5 * (take(n - 2, n - 1) + take(n - 1, n))
+        s = list(sl)
+        s[axis] = slice(2 * n - 2, 2 * n)
+        return out.at[tuple(s)].set(
+            jnp.concatenate([edge, edge], axis=axis)
+        )
+
+    return up(up(img, 0), 1)

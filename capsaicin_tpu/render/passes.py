@@ -666,9 +666,13 @@ def svgf_accumulate(
 
     # current color resampled at this pixel (bilinear vs the input buffer
     # size). At full resolution the bilinear fetch at a pixel's own center is
-    # the identity — skip the gather entirely (TPU gathers are expensive).
+    # the identity — skip it; under UPSCALE2X the sample position is the
+    # identity map of the doubled grid, so the gather becomes a zero-gather
+    # separable 2x upsample (resample.upsample2x_bilinear).
     if (in_h, in_w) == (height, width):
         color = color_in
+    elif (in_h * 2, in_w * 2) == (height, width):
+        color = resample.upsample2x_bilinear(color_in)
     else:
         color = resample.sample_bilinear(color_in, this_uv, (in_w, in_h))
     lum = m.luminance(color)

@@ -40,3 +40,22 @@ def test_uv_xy_roundtrip():
     uv = resample.xy_to_uv(xy, dims)
     back = np.asarray(resample.uv_to_xy(uv, dims))
     np.testing.assert_allclose(back, np.asarray(xy), atol=1e-4)
+
+
+def test_upsample2x_matches_sample_bilinear():
+    """The zero-gather 2x upsample must equal the general bilinear fetch at
+    the identity UV grid of the doubled resolution (incl. border clamps)."""
+    import jax.numpy as jnp
+
+    from capsaicin_tpu.ops import resample
+
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.random((7, 5, 3)).astype(np.float32))
+    h2, w2 = 14, 10
+    ys, xs = np.meshgrid(np.arange(h2), np.arange(w2), indexing="ij")
+    uv = jnp.asarray(
+        np.stack([(xs + 0.5) / w2, (ys + 0.5) / h2], -1).astype(np.float32)
+    )
+    want = resample.sample_bilinear(img, uv, (5, 7))
+    got = resample.upsample2x_bilinear(img)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
