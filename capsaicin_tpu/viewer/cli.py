@@ -72,6 +72,9 @@ def main(argv=None):
     ap.add_argument("--timings", action="store_true", help="print per-pass timings")
     ap.add_argument("--web", action="store_true", help="interactive web viewer")
     ap.add_argument("--port", type=int, default=8089)
+    ap.add_argument("--precompile", action="store_true",
+                    help="compile the option-variant cache before serving "
+                         "(hitch-free panel toggles; slower startup)")
     args = ap.parse_args(argv)
 
     session = build_session(args)
@@ -86,7 +89,7 @@ def main(argv=None):
     if args.web:
         from .web import serve
 
-        serve(session, port=args.port)
+        serve(session, port=args.port, precompile=args.precompile)
         return 0
 
     t0 = time.perf_counter()

@@ -219,21 +219,21 @@ def _encode_jpeg(img: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def serve(session, port: int = 8089, host: str = "127.0.0.1", precompile: bool = True):
-    state = ViewerState(session)
+def serve(session, port: int = 8089, host: str = "127.0.0.1", precompile: bool = False):
+    """Serve the interactive viewer.
 
+    precompile=True warms the common option variants BEFORE binding the
+    server so panel flips never hitch (longer startup; the compiles land in
+    the persistent XLA cache, so later sessions start fast). Warming in a
+    background thread was tried and starves the whole process: jax's MLIR
+    lowering holds the GIL for minutes per variant.
+    """
     if precompile and session.scene_dev is not None:
-        # warm the common variants in the background so panel flips don't
-        # hitch; frames keep flowing from the base variant meanwhile
-        def _warm():
-            try:
-                with state.lock:
-                    n = session.precompile_variants()
-                print(f"precompiled {n} render variants")
-            except Exception as e:  # pragma: no cover - best effort
-                print(f"variant precompile failed: {e}")
+        print("precompiling render variants (one-time; cached on disk)...")
+        n = session.precompile_variants()
+        print(f"precompiled {n} render variants")
 
-        threading.Thread(target=_warm, daemon=True).start()
+    state = ViewerState(session)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
