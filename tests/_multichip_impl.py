@@ -13,11 +13,11 @@ def main(n_dev: int) -> None:
     import jax.numpy as jnp
 
     jax.config.update("jax_platforms", "cpu")
-    # same-host persistent cache: the SPMD compile costs ~80s cold
-    cache = os.path.expanduser("~/.cache/capsaicin_tpu/xla-cpu-tests")
-    os.makedirs(cache, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # NO persistent cache here: XLA:CPU AOT entries encode tuning flags as
+    # machine features; reloading them under the 8-device SPMD config made
+    # one device thread diverge and abort the collective rendezvous
+    # (measured: rc=-6 with cpu_aot_loader feature-mismatch errors). The
+    # cold SPMD compile (~80s) is the price of a deterministic run.
 
     from capsaicin_tpu.ops import lbvh
     from capsaicin_tpu.parallel import sharding as sh
