@@ -57,3 +57,26 @@ def test_native_fast_path_in_load_obj(lib, tmp_path):
     total_py = sum(len(m.indices) for m in py_meshes)
     assert total_auto == total_py
     assert "stone" in mats
+
+
+def test_obj_to_image_end_to_end(tmp_path):
+    """The full user journey of the reference viewer (main.cpp:84-89):
+    an OBJ file on disk -> LoadSceneFromOBJ analog -> rendered frame."""
+    from capsaicin_tpu.render import RenderOptions, RenderSession
+    from capsaicin_tpu.scene import load_scene_obj
+    from capsaicin_tpu.scene.procedural import make_camera
+
+    path = os.path.join(tmp_path, "cb.obj")
+    write_obj(path, cornell_box())
+    scene = load_scene_obj(path)
+    assert scene.num_triangles == 40
+
+    s = RenderSession(
+        width=32, height=32, traversal="brute",
+        options=RenderOptions(eaw5=False),
+    )
+    s.set_camera(make_camera("cornell", 32, 32))
+    s.set_scene(scene)
+    img = s.render()
+    assert np.all(np.isfinite(img))
+    assert img.mean() > 0.01  # a lit scene, not black
