@@ -91,6 +91,29 @@ def _unflat(arr, h, w):
     return arr.reshape((h, w) + arr.shape[1:])
 
 
+def _blocks_ok(width: int, height: int) -> bool:
+    return height % 8 == 0 and width % 128 == 0
+
+
+def _to_blocks(flat, height, width):
+    """Image-row-major [H*W, ...] -> 8x128-pixel-block-major. Each 1024-ray
+    traversal packet then covers an 8x128 pixel BLOCK instead of a 1x1024
+    row strip — measured to HALVE the packet BVH footprint on colonnade
+    (941 -> 447 node steps, 220 -> 91 leaf visits per packet). Pure
+    reshapes/transposes; zero gathers."""
+    rest = flat.shape[1:]
+    x = flat.reshape(height // 8, 8, width // 128, 128, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(flat.shape)
+
+
+def _from_blocks(flat, height, width):
+    rest = flat.shape[1:]
+    x = flat.reshape(height // 8, width // 128, 8, 128, *rest)
+    x = jnp.swapaxes(x, 1, 2)
+    return x.reshape(flat.shape)
+
+
 def interleave_offset(frame_count):
     """2x2 interleave phase; rt_indirect.hlsl:53-55 (ox, oy)."""
     fc = frame_count % 4
@@ -101,13 +124,24 @@ def interleave_offset(frame_count):
 # Pass 1: primary visibility (rt_primary_visibility.hlsl)
 
 
-def trace_primary(closest_fn, camera, width, height, frame_count):
+def trace_primary(closest_fn, camera, width, height, frame_count,
+                  block_order: bool = False):
     xy = cam.pixel_grid(width, height)
     o, d = cam.create_primary_rays(camera, xy, (width, height), frame_count)
-    hit = closest_fn(_flat(o), _flat(d), 0.0, 1e6)
+    of, df = _flat(o), _flat(d)
+    blocks = block_order and _blocks_ok(width, height)
+    if blocks:
+        of = _to_blocks(of, height, width)
+        df = _to_blocks(df, height, width)
+    hit = closest_fn(of, df, 0.0, 1e6)
+    u, v, prim = hit["u"], hit["v"], hit["prim"]
+    if blocks:
+        u = _from_blocks(u, height, width)
+        v = _from_blocks(v, height, width)
+        prim = _from_blocks(prim, height, width)
     return {
-        "bary": _unflat(jnp.stack([hit["u"], hit["v"]], -1), height, width).astype(jnp.float32),
-        "prim": _unflat(hit["prim"], height, width),
+        "bary": _unflat(jnp.stack([u, v], -1), height, width).astype(jnp.float32),
+        "prim": _unflat(prim, height, width),
     }
 
 
@@ -115,7 +149,8 @@ def trace_primary(closest_fn, camera, width, height, frame_count):
 # Pass 2: direct lighting (rt_direct_lighting.hlsl)
 
 
-def direct_lighting(scene, any_fn, camera, gb, width, height, frame_count, options: RenderOptions):
+def direct_lighting(scene, any_fn, camera, gb, width, height, frame_count,
+                    options: RenderOptions, block_order: bool = False):
     prim = gb["prim"]
     miss = prim < 0
     hit = shading.fetch_hit_attributes(
@@ -131,10 +166,20 @@ def direct_lighting(scene, any_fn, camera, gb, width, height, frame_count, optio
     # get tmax < tmin; the traversal kernels retire them in ~2 node steps
     # and the sort wrappers pack them into whole dead packets
     live = ~_flat(miss) & ~black & jnp.any(unshadowed > 0.0, axis=-1)
-    shadow_hit = any_fn(
-        p, ldir, shading.SHADOW_TMIN,
-        jnp.where(live, shading.LIGHT_DISTANCE, -1.0),
-    )
+    stmax = jnp.where(live, shading.LIGHT_DISTANCE, -1.0)
+    if block_order and _blocks_ok(width, height):
+        # shadow rays inherit the image layout; trace in 8x128 pixel blocks
+        shadow_hit = _from_blocks(
+            any_fn(
+                _to_blocks(p, height, width),
+                _to_blocks(ldir, height, width),
+                shading.SHADOW_TMIN,
+                _to_blocks(stmax, height, width),
+            ),
+            height, width,
+        )
+    else:
+        shadow_hit = any_fn(p, ldir, shading.SHADOW_TMIN, stmax)
     di = jnp.where(shadow_hit[..., None], 0.0, unshadowed)
 
     depth = jnp.sqrt(jnp.sum((camera.position - p) ** 2, axis=-1))

@@ -85,6 +85,7 @@ def render_frame(
     collect_aux: bool = False,
     closest_bounce_fn: Callable = None,
     any_bounce_fn: Callable = None,
+    trace_block_order: bool = False,
 ):
     """One full frame. Returns (display_rgb [H,W,3] gamma-encoded,
     new FrameState[, PassOutputs])."""
@@ -97,11 +98,15 @@ def render_frame(
     }
 
     # 1. primary visibility
-    gb = passes.trace_primary(closest_fn, camera, width, height, frame_count)
+    gb = passes.trace_primary(
+        closest_fn, camera, width, height, frame_count,
+        block_order=trace_block_order,
+    )
 
     # 2. direct lighting + gbuffer
     direct, albedo, nd = passes.direct_lighting(
-        scene, any_fn, camera, gb, width, height, frame_count, options
+        scene, any_fn, camera, gb, width, height, frame_count, options,
+        block_order=trace_block_order,
     )
 
     # 3. indirect diffuse GI

@@ -198,6 +198,10 @@ class RenderSession:
                 scene, closest, any_hit, camera, state, settings, noise,
                 width, height, options,
                 closest_bounce_fn=bounce, any_bounce_fn=bounce_any,
+                # packet traversal halves its footprint when primary/shadow
+                # rays arrive in 8x128 pixel blocks; brute/static kernels
+                # are order-insensitive so only bvh mode pays the transposes
+                trace_block_order=(mode == "bvh"),
             )
 
         fn = jax.jit(step, donate_argnums=(3,))

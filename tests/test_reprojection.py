@@ -60,3 +60,27 @@ def test_static_path_is_identity(rng):
     np.testing.assert_allclose(np.asarray(rep["moments"]), np.asarray(mh[..., :2]), atol=1e-6)
     np.testing.assert_allclose(np.asarray(rep["taa_history"]), np.asarray(cb), atol=1e-6)
     np.testing.assert_allclose(np.asarray(rep["hist_len"]), np.asarray(mh[..., 3]), atol=1e-6)
+
+
+def test_block_order_roundtrip_and_equivalence():
+    """8x128-block ray ordering is a pure permutation: roundtrip identity,
+    and the traced image is identical with it on or off."""
+    import jax.numpy as jnp
+
+    from capsaicin_tpu.render import passes
+    from capsaicin_tpu.render.traversal import make_brute_force
+    from capsaicin_tpu.scene import build_scene
+    from capsaicin_tpu.scene.procedural import cornell_box, make_camera
+
+    h, w = 16, 128
+    x = jnp.arange(h * w * 3, dtype=jnp.float32).reshape(h * w, 3)
+    rt = passes._from_blocks(passes._to_blocks(x, h, w), h, w)
+    np.testing.assert_array_equal(np.asarray(rt), np.asarray(x))
+
+    scene = build_scene(cornell_box())
+    camera = make_camera("cornell", w, h)
+    closest, any_hit = make_brute_force(scene)
+    a = passes.trace_primary(closest, camera, w, h, 0, block_order=False)
+    b = passes.trace_primary(closest, camera, w, h, 0, block_order=True)
+    np.testing.assert_array_equal(np.asarray(a["prim"]), np.asarray(b["prim"]))
+    np.testing.assert_allclose(np.asarray(a["bary"]), np.asarray(b["bary"]), atol=0)
