@@ -69,9 +69,8 @@ CHUNK_TRIS_CAP = 150_000
 def pack_tri_rows(v0, e1, e2, tri_id, per_row: int = TRIS_PER_ROW):
     """[T,3]x3 + [T] -> [ceil(T/per_row), 128] rows, tri j at lanes
     j*10..+10 as (v0 xyz, e1 xyz, e2 xyz, tid+1); 0 id marks padding.
-    Lanes per_row*10..+6 carry the row's own AABB (min xyz, max xyz) so
-    multi-row leaves can skip whole rows with one cheap box test; all-padding
-    rows get an inverted box that never hits."""
+    (A per-row AABB in the spare lanes was tried for in-leaf row skipping
+    and measured ~8% slower — see the kernel; rows carry only triangles.)"""
     t = v0.shape[0]
     tid_f = (tri_id + 1).astype(jnp.float32)
     rec = jnp.concatenate([v0, e1, e2, tid_f[:, None]], axis=1)  # [T, 10]
@@ -80,23 +79,8 @@ def pack_tri_rows(v0, e1, e2, tri_id, per_row: int = TRIS_PER_ROW):
     if pad:
         rec = jnp.concatenate([rec, jnp.zeros((pad, 10), jnp.float32)])
     packed = rec.reshape(rows, per_row * 10)
-
-    valid = (jnp.concatenate([tri_id, jnp.full((pad,), -1, tri_id.dtype)])
-             >= 0)[:, None]
-    p0 = jnp.concatenate([v0, jnp.zeros((pad, 3), jnp.float32)])
-    e1p = jnp.concatenate([e1, jnp.zeros((pad, 3), jnp.float32)])
-    e2p = jnp.concatenate([e2, jnp.zeros((pad, 3), jnp.float32)])
-    corner_min = jnp.minimum(jnp.minimum(p0, p0 + e1p), p0 + e2p)
-    corner_max = jnp.maximum(jnp.maximum(p0, p0 + e1p), p0 + e2p)
-    corner_min = jnp.where(valid, corner_min, INF)
-    corner_max = jnp.where(valid, corner_max, -INF)
-    row_min = corner_min.reshape(rows, per_row, 3).min(axis=1)
-    row_max = corner_max.reshape(rows, per_row, 3).max(axis=1)
-    aabb = jnp.concatenate([row_min, row_max], axis=1)  # [rows, 6]
-
-    tail_pad = 128 - per_row * 10 - 6
     return jnp.concatenate(
-        [packed, aabb, jnp.zeros((rows, tail_pad), jnp.float32)], axis=1
+        [packed, jnp.zeros((rows, 128 - per_row * 10), jnp.float32)], axis=1
     )
 
 
@@ -347,9 +331,8 @@ def _traverse_kernel(
         def row_body(i, c):
             rr = jnp.minimum((k - n_leaves) * leaf_rows + i, tri_rows - 1)
             trow = tris_ref[rr, :]  # [128]; in-row lanes are static below
-            # NOTE: lanes per_row*10..+6 carry the row's own AABB. A
-            # per-row box pretest here was tried and measured ~8% SLOWER
-            # (the per-row any() reduce + branch costs more than the
+            # NOTE: a per-row AABB pretest here was tried and measured ~8%
+            # SLOWER (the per-row any() reduce + branch costs more than the
             # skipped triangle math on v5e) — rows run unconditionally.
             _row_tri_tests(trow)
             return c

@@ -174,7 +174,8 @@ def upsample2x_bilinear(img):
         shape = list(a.shape)
         shape[axis] = 2 * n
         out = out.reshape(shape)
-        edge = 0.5 * (take(n - 2, n - 1) + take(n - 1, n))
+        i0 = max(n - 2, 0)  # n == 1 degenerates to the single texel
+        edge = 0.5 * (take(i0, i0 + 1) + take(n - 1, n))
         s = list(sl)
         s[axis] = slice(2 * n - 2, 2 * n)
         return out.at[tuple(s)].set(

@@ -58,9 +58,14 @@ def measure_passes(session, iters: int = 3) -> Dict[str, float]:
     timings: Dict[str, float] = {}
 
     closest, any_hit = make_traversal(scene, mode, bvh)
+    # measure the same code path the frame runs: bvh mode traces
+    # primary/shadow rays in 8x128 pixel-block packets
+    block_order = mode == "bvh"
 
     def f_primary(camera, fc):
-        return passes.trace_primary(closest, camera, width, height, fc)
+        return passes.trace_primary(
+            closest, camera, width, height, fc, block_order=block_order
+        )
 
     timings["RaytracePrimaryVisibility"], gb = _time(
         jax.jit(f_primary), camera, fc, iters=iters
@@ -68,7 +73,8 @@ def measure_passes(session, iters: int = 3) -> Dict[str, float]:
 
     def f_direct(scene, camera, g, fc):
         return passes.direct_lighting(
-            scene, any_hit, camera, g, width, height, fc, options
+            scene, any_hit, camera, g, width, height, fc, options,
+            block_order=block_order,
         )
 
     timings["RT Direct lighting"], (direct, albedo, nd) = _time(

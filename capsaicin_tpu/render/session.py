@@ -10,6 +10,7 @@ timing, and readback.
 
 from __future__ import annotations
 
+import collections
 import functools
 import time
 from typing import Dict, Optional
@@ -43,8 +44,11 @@ from .settings import RenderOptions, Settings, default_settings
 from .traversal import make_traversal, resolve_mode
 
 
-# (mode, width, height, options) -> jitted frame fn, shared across sessions
-_GLOBAL_FN_CACHE: Dict = {}
+# (mode, width, height, options) -> jitted frame fn, shared across sessions.
+# LRU-bounded: interactive resizing emits a stream of distinct resolutions
+# and each entry pins a compiled full-pipeline executable.
+_GLOBAL_FN_CACHE: collections.OrderedDict = collections.OrderedDict()
+_GLOBAL_FN_CACHE_CAP = 32
 
 
 class RenderSession:
@@ -122,8 +126,11 @@ class RenderSession:
         """Compile a set of RenderOptions variants ahead of time so runtime
         flips don't hitch (SURVEY.md §7 item 7: 'settings changes that flip
         kernel variants should be jit-static and precompiled'). Default set:
-        the 4 output debug modes, denoise off, eaw5 off, and bounce counts
-        1..3. Requires a scene. Returns the number compiled."""
+        every single-field flip the viewer panel exposes (output modes,
+        denoise/eaw5/gather/taa off, bounce counts 0..3). Multi-toggle
+        COMBINATIONS still compile on first use — one hitch each, then the
+        persistent XLA cache makes them instant in later sessions. Requires
+        a scene. Returns the number compiled."""
         import dataclasses
 
         if self.scene_dev is None:
@@ -133,9 +140,9 @@ class RenderSession:
             variants = [base]
             for mode_ in range(4):
                 variants.append(dataclasses.replace(base, output=mode_))
-            variants.append(dataclasses.replace(base, denoise=False))
-            variants.append(dataclasses.replace(base, eaw5=False))
-            for b in (1, 2, 3):
+            for field in ("denoise", "eaw5", "gather", "taa"):
+                variants.append(dataclasses.replace(base, **{field: False}))
+            for b in (0, 1, 2, 3):
                 variants.append(dataclasses.replace(base, num_diffuse_bounces=b))
         n = 0
         example = (
@@ -184,6 +191,7 @@ class RenderSession:
         key = (mode, width, height, options)
         cached = _GLOBAL_FN_CACHE.get(key)
         if cached is not None:
+            _GLOBAL_FN_CACHE.move_to_end(key)
             return cached
 
         def step(scene, bvh, camera, state, settings, noise):
@@ -206,6 +214,8 @@ class RenderSession:
 
         fn = jax.jit(step, donate_argnums=(3,))
         _GLOBAL_FN_CACHE[key] = fn
+        while len(_GLOBAL_FN_CACHE) > _GLOBAL_FN_CACHE_CAP:
+            _GLOBAL_FN_CACHE.popitem(last=False)
         return fn
 
     def render(self, camera: Optional[Camera] = None) -> np.ndarray:

@@ -75,6 +75,16 @@ fetch('/settings').then(r => r.json()).then(cfg => {
     kdiv.appendChild(label);
   }
   const odiv = document.getElementById('opts');
+  // fit-to-window resize: defaults OFF when the server precompiled option
+  // variants at the CLI resolution (a resize would drop that work)
+  const fitLabel = document.createElement('label');
+  fitLabel.textContent = 'fit window ';
+  const fitBox = document.createElement('input');
+  fitBox.type = 'checkbox';
+  fitBox.checked = !!cfg.fit_window;
+  fitLabel.appendChild(fitBox);
+  odiv.appendChild(fitLabel);
+  window.fitBox = fitBox;
   for (const [name, spec] of Object.entries(cfg.options)) {
     const label = document.createElement('label');
     label.textContent = name + ' ';
@@ -113,10 +123,13 @@ async function loop() {
   const input = {keys: [...keys], dx: acc.dx, dy: acc.dy,
                  settings: {...changed}, options: {...optChanged}};
   // window-resize refit (camera_system.cpp:10-17): ask the server to render
-  // at the window size, snapped to multiples of 8
-  const w = Math.max(64, Math.floor(window.innerWidth / 8) * 8);
-  const h = Math.max(64, Math.floor(window.innerHeight / 8) * 8);
-  if (w !== lastW || h !== lastH) { input.resize = [w, h]; lastW = w; lastH = h; }
+  // at the window size, snapped to multiples of 8 (only when 'fit window'
+  // is checked — see the precompile note above)
+  if (window.fitBox && window.fitBox.checked) {
+    const w = Math.max(64, Math.floor(window.innerWidth / 8) * 8);
+    const h = Math.max(64, Math.floor(window.innerHeight / 8) * 8);
+    if (w !== lastW || h !== lastH) { input.resize = [w, h]; lastW = w; lastH = h; }
+  } else { lastW = 0; lastH = 0; }
   for (const k in changed) delete changed[k];
   for (const k in optChanged) delete optChanged[k];
   acc.dx = 0; acc.dy = 0;
@@ -262,7 +275,10 @@ def serve(session, port: int = 8089, host: str = "127.0.0.1", precompile: bool =
                 for name, spec in _OPTIONS.items():
                     value = getattr(state.session.options, name)
                     opts[name] = dict(spec, value=value)
-                self._json({"knobs": knobs, "options": opts})
+                self._json({
+                    "knobs": knobs, "options": opts,
+                    "fit_window": not precompile,
+                })
                 return
             if self.path.startswith("/timings"):
                 with state.lock:

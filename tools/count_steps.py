@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""Exact packet-DFS step counts (CPU simulation) for the colonnade BVH.
+"""Packet-DFS step counts (CPU simulation) for the colonnade BVH.
 
-Reproduces the kernel's traversal rule in NumPy for a sample of primary-ray
-packets, reporting steps (= loop iterations), leaf visits, and the implied
-ns/step given a measured wall time.
+Simulates the UNORDERED stackless DFS (one box test per step, no near-first
+ordering, no t_best shortening) over the same tree the kernel uses. The
+shipped kernel (ordered stack traversal with sibling-pair fetches) visits
+FEWER nodes, so these counts are an upper-bound proxy for comparing packet
+footprints (e.g. row-strip vs pixel-block ray ordering), not an exact model
+of the current kernel.
 """
 
 import json
