@@ -143,14 +143,34 @@ def with_ray_sorting(closest_fn):
     from ..ops.pallas_traverse import sort_rays_for_traversal
 
     def sorted_closest(origins, dirs, tmin, tmax):
+        import jax
+
         tmax_arr = jnp.broadcast_to(
             jnp.asarray(tmax, jnp.float32), origins.shape[:1]
         )
         order, inverse = sort_rays_for_traversal(
             origins, dirs, dead=tmax_arr < tmin
         )
-        out = closest_fn(origins[order], dirs[order], tmin, tmax_arr[order])
-        return {k: v[inverse] for k, v in out.items()}
+        # pack all permuted quantities so each direction costs ONE gather
+        # (gather cost is per-index, not per-byte, on TPU): 3 input gathers
+        # -> 1, 4 result gathers -> 1. prim rides as a bit pattern.
+        packed = jnp.concatenate(
+            [origins, dirs, tmax_arr[:, None]], axis=1
+        )[order]
+        out = closest_fn(packed[:, 0:3], packed[:, 3:6], tmin, packed[:, 6])
+        res = jnp.stack(
+            [
+                out["t"], out["u"], out["v"],
+                jax.lax.bitcast_convert_type(out["prim"], jnp.float32),
+            ],
+            axis=1,
+        )[inverse]
+        return {
+            "t": res[:, 0],
+            "u": res[:, 1],
+            "v": res[:, 2],
+            "prim": jax.lax.bitcast_convert_type(res[:, 3], jnp.int32),
+        }
 
     return sorted_closest
 
@@ -167,6 +187,10 @@ def with_ray_sorting_any(any_fn):
         order, inverse = sort_rays_for_traversal(
             origins, dirs, dead=tmax_arr < tmin
         )
-        return any_fn(origins[order], dirs[order], tmin, tmax_arr[order])[inverse]
+        # one input gather instead of three (see with_ray_sorting)
+        packed = jnp.concatenate(
+            [origins, dirs, tmax_arr[:, None]], axis=1
+        )[order]
+        return any_fn(packed[:, 0:3], packed[:, 3:6], tmin, packed[:, 6])[inverse]
 
     return sorted_any
