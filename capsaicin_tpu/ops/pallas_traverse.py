@@ -15,9 +15,9 @@ diverges hardest from a GPU port):
   * **Lane-packed VMEM-resident scene.** Mosaic only allows dynamic indexing
     on sublane (row) dimensions, and pads VMEM lane dims to 128 — so both
     tables are packed 128 floats per row with zero padding waste:
-      nodes: 16 nodes x 8 floats per row; the in-row record is aligned to
-             lane 0 with a dynamic lane rotate (pltpu.roll) and read via
-             static slice-broadcasts — the whole step stays on the VPU
+      nodes: SIBLING-PAIR rows — row k holds the records of children
+             (2k, 2k+1) in lanes 0..15, so a traversal step is one dynamic
+             sublane read + static extracts (no rotate, no slot arithmetic)
       tris:  8 triangles x 10 floats per row; a 32-tri leaf spans 4 rows,
              iterated with a fori_loop (in-row lanes are STATIC via the
              unrolled 8-tri body, so extraction is free)
@@ -58,7 +58,8 @@ TRIS_PER_ROW = 8  # 8 tris x 10 floats = 80 lanes/row. Do NOT unroll wider:
 LEAF_SIZE = 32  # tris per BVH leaf = 4 rows. Wider leaves -> a 4x shallower
 # tree -> 4x fewer scalar-bound traversal steps; the extra triangle tests
 # are dense VPU work, which is the cheap currency on TPU.
-NODES_PER_ROW = 16  # 16 nodes x 8 floats = 128 lanes
+NODES_PER_ROW = 16  # legacy dense layout constant (pack_bvh now emits
+# sibling-pair rows: one (2k, 2k+1) record pair per row, 16 floats used)
 # VMEM cap per sub-tree: tris rows*512B + nodes. Scenes above this are split
 # into morton-ordered chunks, each with its own VMEM-resident sub-BVH, traced
 # sequentially and merged (spatially disjoint chunks exit each other's trees
@@ -94,8 +95,8 @@ class PackedBVH:
     n_leaves/leaf_size are static aux data — the kernel needs them at
     trace time).
 
-    nodes: [ceil(2L/16), 128] f32 — node k at row k//16, lanes (k%16)*8..+6
-           as (min xyz, max xyz); slots 6,7 unused
+    nodes: [L, 128] f32 sibling-pair rows — row k holds children (2k, 2k+1)
+           records in lanes 0..15 (min xyz, max xyz, order-code, pad) x 2
     tris:  [ceil(P/leaf), 128] f32 — leaf row l holds its triangles, tri j
            at lanes j*10..+10 as (v0 xyz, e1 xyz, e2 xyz, tid+1); trimmed to
            the real triangle count (trailing all-padding leaf rows dropped)
@@ -178,7 +179,6 @@ def pack_bvh(bvh: BVH, n_real_tris=None) -> PackedBVH:
     per_row = min(leaf, TRIS_PER_ROW)
     assert leaf % per_row == 0, f"leaf_size {leaf} must be a multiple of rows"
     n2 = bvh.nodes_min.shape[0]
-    rows_n = -(-n2 // NODES_PER_ROW)
     # per-sibling-pair traversal ordering code, stored in slot 6 of the LEFT
     # child's record (the kernel fetches child pairs, never the parent):
     # axis = argmax |center(right) - center(left)|, +4 if left is the
@@ -196,10 +196,17 @@ def pack_bvh(bvh: BVH, n_real_tris=None) -> PackedBVH:
         [bvh.nodes_min, bvh.nodes_max, codes[:, None],
          jnp.zeros((n2, 1), jnp.float32)], axis=1
     )  # [2L, 8]
-    pad = rows_n * NODES_PER_ROW - n2
-    if pad:
-        node_rec = jnp.concatenate([node_rec, jnp.zeros((pad, 8), jnp.float32)])
-    nodes = node_rec.reshape(rows_n, NODES_PER_ROW * 8)
+    # sibling-PAIR rows: row k holds the records of children (2k, 2k+1) in
+    # lanes 0..15, so the kernel's node fetch is ONE dynamic sublane read —
+    # no lane rotate, no slot arithmetic on the scalar critical path. Row 0
+    # is unused (k starts at the root, 1). Costs 16x the VMEM of the dense
+    # 16-nodes/row layout (512B/pair) — ~4MB at the chunk cap, well in budget.
+    n_pairs = n2 // 2  # == n_leaves
+    pair_rec = node_rec[2:].reshape(n_pairs - 1, 16)
+    pair_rec = jnp.concatenate([jnp.zeros((1, 16), jnp.float32), pair_rec])
+    nodes = jnp.concatenate(
+        [pair_rec, jnp.zeros((n_pairs, 128 - 16), jnp.float32)], axis=1
+    )
 
     tris = pack_tri_rows(bvh.tri_v0, bvh.tri_e1, bvh.tri_e2, bvh.tri_id, per_row)
     if n_real_tris is not None:
@@ -256,8 +263,8 @@ def _traverse_kernel(
 ):
     """Ordered stack traversal, one sibling PAIR per fetch.
 
-    The walk pointer k is always an INTERNAL node; each step rotates the
-    children pair (2k, 2k+1) into lanes 0..15 with ONE dynamic lane rotate,
+    The walk pointer k is always an INTERNAL node; each step reads the
+    children pair (2k, 2k+1) from pair-row k with ONE dynamic sublane read,
     box-tests both, and descends into the near child first (near/far chosen
     from the pair's split-axis code, slot 6 of the left child's record,
     against the packet-representative ray direction sign). The far child of
@@ -266,7 +273,7 @@ def _traverse_kernel(
     tests immediately — the classic closest-hit pruning DXR hardware does,
     expressed packet-wide.
     """
-    roll_fn = jnp.roll if interpret else pltpu.roll
+    del interpret  # layout no longer needs a hardware-only lane rotate
 
     max_steps = 4 * n_leaves + 64  # safety cap
 
@@ -395,11 +402,10 @@ def _traverse_kernel(
     def body(state):
         step, k, sp, live = state
         c0 = 2 * k
-        # one rotate exposes BOTH children records (left at lanes 0..7,
-        # right at 8..15; c0 is even so the pair never crosses a row)
-        row = nodes_ref[c0 // NODES_PER_ROW, :].reshape(1, 128)
-        slot = (c0 % NODES_PER_ROW) * 8
-        rec = roll_fn(row, (128 - slot) % 128, axis=1)
+        # sibling-pair layout: row k holds BOTH children records (left at
+        # lanes 0..7, right at 8..15) — ONE dynamic sublane read, no lane
+        # rotate or slot arithmetic on the scalar critical path
+        rec = nodes_ref[k, :].reshape(1, 128)
         t_best = t_out[0, 0]
         prim = p_out[0, 0]
         hitL = box_from(rec, 0, t_best, prim)
