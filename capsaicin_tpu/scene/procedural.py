@@ -79,7 +79,7 @@ RED = (0.504, 0.052, 0.04)
 GREEN = (0.156, 0.426, 0.107)
 
 
-def cornell_box(floor_texture: str = "") -> List[MeshData]:
+def cornell_box(floor_texture: str = "", back_texture: str = "") -> List[MeshData]:
     """Classic 2-unit Cornell box with a skylight opening.
 
     Shape roster follows the reference asset (walls, floor, ceiling, short &
@@ -93,6 +93,7 @@ def cornell_box(floor_texture: str = "") -> List[MeshData]:
     m_red = Material("leftWall", kd=RED)
     m_green = Material("rightWall", kd=GREEN)
     m_floor = Material("floor", kd=WHITE, diffuse_texname=floor_texture)
+    m_back = Material("backWall", kd=WHITE, diffuse_texname=back_texture)
 
     def wall(name, mat, v0, v1, v2, v3, n):
         mesh = MeshData(name=name)
@@ -118,7 +119,7 @@ def cornell_box(floor_texture: str = "") -> List[MeshData]:
         _box("shortBox", m_white, (0.33, 0.3, 0.37), (0.6, 0.6, 0.6), rot_deg=-17.0),
         _box("tallBox", m_white, (-0.34, 0.6, -0.29), (0.6, 1.2, 0.6), rot_deg=17.0),
         wall("leftWall", m_red, (-1, 0, 1), (-1, 2, 1), (-1, 2, -1), (-1, 0, -1), (1, 0, 0)),
-        wall("backWall", m_white, (-1, 0, 1), (1, 0, 1), (1, 2, 1), (-1, 2, 1), (0, 0, -1)),
+        wall("backWall", m_back, (-1, 0, 1), (1, 0, 1), (1, 2, 1), (-1, 2, 1), (0, 0, -1)),
         wall("rightWall", m_green, (1, 0, -1), (1, 2, -1), (1, 2, 1), (1, 0, 1), (-1, 0, 0)),
         ceiling,
         wall("floor", m_floor, (-1, 0, -1), (1, 0, -1), (1, 0, 1), (-1, 0, 1), (0, 1, 0)),
@@ -135,9 +136,28 @@ def checker_texture(size: int = 128, tiles: int = 8) -> np.ndarray:
     return np.concatenate([img, np.ones((size, size, 1), np.float32)], axis=-1)
 
 
+def stripe_texture(h: int = 48, w: int = 96, stripes: int = 12) -> np.ndarray:
+    """[h,w,4] vertical stripes; deliberately non-square and a different
+    size from checker_texture so the padded multi-texture atlas (padding +
+    per-texture wrap sizes) gets exercised."""
+    ax = np.arange(w)
+    band = (ax * stripes // w) % 2
+    img = np.where(band[None, :, None] == 0, 0.85, 0.35).astype(np.float32)
+    img = np.repeat(img, 3, axis=-1)
+    img = np.broadcast_to(img, (h, w, 3)).copy()
+    return np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=-1)
+
+
 def cornell_box_textured() -> Tuple[List[MeshData], dict]:
     meshes = cornell_box(floor_texture="checker.png")
     return meshes, {"checker.png": checker_texture()}
+
+
+def cornell_box_multitextured() -> Tuple[List[MeshData], dict]:
+    """Two textures of DIFFERENT sizes (128x128 checker floor + 48x96
+    striped back wall): exercises atlas padding and per-texture wrap."""
+    meshes = cornell_box(floor_texture="checker.png", back_texture="stripes.png")
+    return meshes, {"checker.png": checker_texture(), "stripes.png": stripe_texture()}
 
 
 def _uv_sphere(name: str, mat: Material, center, radius, nu: int, nv: int) -> MeshData:

@@ -43,6 +43,12 @@ def build_session(args):
         meshes, textures = cornell_box_textured()
         scene = build_scene(meshes, textures)
         session.set_camera(make_camera("cornell", args.width, args.height))
+    elif args.scene == "cornell-multitex":
+        from ..scene.procedural import cornell_box_multitextured
+
+        meshes, textures = cornell_box_multitextured()
+        scene = build_scene(meshes, textures)
+        session.set_camera(make_camera("cornell", args.width, args.height))
     elif args.scene == "colonnade":
         scene = build_scene(colonnade())
         session.set_camera(make_camera("colonnade", args.width, args.height))
@@ -55,7 +61,7 @@ def build_session(args):
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="capsaicin_tpu.viewer")
     ap.add_argument("--scene", default="cornell",
-                    choices=["cornell", "cornell-textured", "colonnade"])
+                    choices=["cornell", "cornell-textured", "cornell-multitex", "colonnade"])
     ap.add_argument("--obj", default=None, help="render an OBJ file instead")
     ap.add_argument("--width", type=int, default=512)
     ap.add_argument("--height", type=int, default=512)
