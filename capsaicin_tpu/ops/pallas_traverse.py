@@ -58,8 +58,6 @@ TRIS_PER_ROW = 8  # 8 tris x 10 floats = 80 lanes/row. Do NOT unroll wider:
 LEAF_SIZE = 32  # tris per BVH leaf = 4 rows. Wider leaves -> a 4x shallower
 # tree -> 4x fewer scalar-bound traversal steps; the extra triangle tests
 # are dense VPU work, which is the cheap currency on TPU.
-NODES_PER_ROW = 16  # legacy dense layout constant (pack_bvh now emits
-# sibling-pair rows: one (2k, 2k+1) record pair per row, 16 floats used)
 # VMEM cap per sub-tree: tris rows*512B + nodes. Scenes above this are split
 # into morton-ordered chunks, each with its own VMEM-resident sub-BVH, traced
 # sequentially and merged (spatially disjoint chunks exit each other's trees
@@ -199,8 +197,9 @@ def pack_bvh(bvh: BVH, n_real_tris=None) -> PackedBVH:
     # sibling-PAIR rows: row k holds the records of children (2k, 2k+1) in
     # lanes 0..15, so the kernel's node fetch is ONE dynamic sublane read —
     # no lane rotate, no slot arithmetic on the scalar critical path. Row 0
-    # is unused (k starts at the root, 1). Costs 16x the VMEM of the dense
-    # 16-nodes/row layout (512B/pair) — ~4MB at the chunk cap, well in budget.
+    # is unused (k starts at the root, 1). Costs 8x the VMEM of the dense
+    # 16-nodes/row layout (512B per pair vs 64B) — ~4MB at the chunk cap,
+    # well in budget.
     n_pairs = n2 // 2  # == n_leaves
     pair_rec = node_rec[2:].reshape(n_pairs - 1, 16)
     pair_rec = jnp.concatenate([jnp.zeros((1, 16), jnp.float32), pair_rec])

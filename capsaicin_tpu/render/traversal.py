@@ -143,8 +143,6 @@ def with_ray_sorting(closest_fn):
     from ..ops.pallas_traverse import sort_rays_for_traversal
 
     def sorted_closest(origins, dirs, tmin, tmax):
-        import jax
-
         tmax_arr = jnp.broadcast_to(
             jnp.asarray(tmax, jnp.float32), origins.shape[:1]
         )
@@ -153,23 +151,25 @@ def with_ray_sorting(closest_fn):
         )
         # pack all permuted quantities so each direction costs ONE gather
         # (gather cost is per-index, not per-byte, on TPU): 3 input gathers
-        # -> 1, 4 result gathers -> 1. prim rides as a bit pattern.
+        # -> 1, 4 result gathers -> 1. prim rides as its float VALUE, which
+        # is exact for ids < 2^24 (far beyond the VMEM-chunk scale); a raw
+        # int32 BIT PATTERN through the float pipeline is NOT safe — the
+        # TPU flushes denormal patterns (ids 1..8388607) to zero and
+        # canonicalizes the -1 sentinel to a quiet NaN (caught in review
+        # by an A/B repro).
         packed = jnp.concatenate(
             [origins, dirs, tmax_arr[:, None]], axis=1
         )[order]
         out = closest_fn(packed[:, 0:3], packed[:, 3:6], tmin, packed[:, 6])
         res = jnp.stack(
-            [
-                out["t"], out["u"], out["v"],
-                jax.lax.bitcast_convert_type(out["prim"], jnp.float32),
-            ],
+            [out["t"], out["u"], out["v"], out["prim"].astype(jnp.float32)],
             axis=1,
         )[inverse]
         return {
             "t": res[:, 0],
             "u": res[:, 1],
             "v": res[:, 2],
-            "prim": jax.lax.bitcast_convert_type(res[:, 3], jnp.int32),
+            "prim": res[:, 3].astype(jnp.int32),
         }
 
     return sorted_closest

@@ -120,6 +120,27 @@ def test_load_scene_obj_end_to_end(tmp_path):
     assert scene.num_triangles == 40
 
 
+
+def _numpy_bilinear_wrap(img, uv):
+    """Independent wrap-mode bilinear reference shared by the atlas tests."""
+    h, w = img.shape[:2]
+    xy = uv * np.array([w, h], np.float32) - 0.5
+    ix = np.floor(xy[:, 0]).astype(int)
+    iy = np.floor(xy[:, 1]).astype(int)
+    fx = (xy[:, 0] - ix)[:, None]
+    fy = (xy[:, 1] - iy)[:, None]
+
+    def at(jx, jy):
+        return img[np.mod(jy, h), np.mod(jx, w)]
+
+    return (
+        at(ix, iy) * (1 - fx) * (1 - fy)
+        + at(ix + 1, iy) * fx * (1 - fy)
+        + at(ix, iy + 1) * (1 - fx) * fy
+        + at(ix + 1, iy + 1) * fx * fy
+    )
+
+
 def test_sample_atlas_matches_numpy_bilinear():
     """The quad-packed one-gather fetch must equal an independent NumPy
     wrap-mode bilinear sampler (SampleLevel on the bindless array,
@@ -143,22 +164,7 @@ def test_sample_atlas_matches_numpy_bilinear():
         )
     )
 
-    h, w = img.shape[:2]
-    xy = uv * np.array([w, h], np.float32) - 0.5
-    ix = np.floor(xy[:, 0]).astype(int)
-    iy = np.floor(xy[:, 1]).astype(int)
-    fx = (xy[:, 0] - ix)[:, None]
-    fy = (xy[:, 1] - iy)[:, None]
-
-    def at(jx, jy):
-        return img[np.mod(jy, h), np.mod(jx, w)]
-
-    want = (
-        at(ix, iy) * (1 - fx) * (1 - fy)
-        + at(ix + 1, iy) * fx * (1 - fy)
-        + at(ix, iy + 1) * (1 - fx) * fy
-        + at(ix + 1, iy + 1) * fx * fy
-    )
+    want = _numpy_bilinear_wrap(img, uv)
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
@@ -194,22 +200,7 @@ def test_multitexture_atlas_padding_and_wrap():
                 jnp.full((97,), k, jnp.int32), jnp.asarray(uv),
             )
         )
-        h, w = img.shape[:2]
-        xy = uv * np.array([w, h], np.float32) - 0.5
-        ix = np.floor(xy[:, 0]).astype(int)
-        iy = np.floor(xy[:, 1]).astype(int)
-        fx = (xy[:, 0] - ix)[:, None]
-        fy = (xy[:, 1] - iy)[:, None]
-
-        def at(jx, jy):
-            return img[np.mod(jy, h), np.mod(jx, w)]
-
-        want = (
-            at(ix, iy) * (1 - fx) * (1 - fy)
-            + at(ix + 1, iy) * fx * (1 - fy)
-            + at(ix, iy + 1) * (1 - fx) * fy
-            + at(ix + 1, iy + 1) * fx * fy
-        )
+        want = _numpy_bilinear_wrap(img, uv)
         np.testing.assert_allclose(got, want, atol=2e-6, err_msg=name)
 
 
