@@ -48,6 +48,9 @@ CONFIGS = {
     "progressive": dict(width=1024, height=1024, bounces=1, scene="cornell",
                         options=dict(lowres_indirect=True)),
 }
+# the driver's required single-line metric comes from this config
+FLAGSHIP = "gi1080"
+assert FLAGSHIP in CONFIGS
 
 
 def run_config(width, height, bounces, scene_name, traversal, frames, lowres=False,
@@ -125,7 +128,7 @@ def main():
         flagship = None
         for name in CONFIGS:
             res = run_named(name)
-            if name == "gi1080":
+            if name == FLAGSHIP:
                 flagship = res
             print(
                 json.dumps(
@@ -147,7 +150,7 @@ def main():
         )
     value = round(res["mrays_per_s"], 2)
     label = "Cornell 1080p 1-bounce GI full pipeline"
-    if args.config and args.config != "gi1080" and not args.all:
+    if args.config and args.config != FLAGSHIP and not args.all:
         label = f"config {args.config} full pipeline"
     print(
         json.dumps(

@@ -22,8 +22,11 @@ diverges hardest from a GPU port):
              iterated with a fori_loop (in-row lanes are STATIC via the
              unrolled 8-tri body, so extraction is free)
     Triangle ids ride along as floats (exact below 2^24).
-  * The DFS successor is the same trailing-ones arithmetic as
-    ops.traverse._dfs_next — no stack, no parent pointers.
+  * Ordered near-first stack traversal: each step fetches a sibling PAIR
+    row, box-tests both children, descends into the near child (chosen from
+    the pair's split-axis code against the packet-representative direction
+    sign) and pushes the far child on a scalar SMEM stack — the classic
+    closest-hit pruning DXR hardware does, expressed packet-wide.
   * Any-hit packets retire lanes at first hit and exit when every lane is
     done (RAY_FLAG_ACCEPT_FIRST_HIT analog, lighting.h:48-55).
 
@@ -232,18 +235,6 @@ def pack_rays_tiled(origins, dirs, tmin, tmax):
         rays = jnp.concatenate([rays, pad], axis=1)
     tiled = rays.reshape(8, n_pad // PACKET, SUB, LANE).transpose(1, 0, 2, 3)
     return tiled, n
-
-
-def _dfs_next_scalar(k):
-    """Scalar DFS successor: strip trailing ones, step right (1 = done)."""
-    x = (~k.astype(jnp.uint32)) & (k.astype(jnp.uint32) + 1)
-    x = x - 1
-    x = x - ((x >> 1) & jnp.uint32(0x55555555))
-    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
-    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
-    trailing = ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
-    up = k >> trailing
-    return jnp.where(up <= 1, 1, up + 1)
 
 
 # A 2-packet interleaved-walk variant was tried to overlap the scalar
@@ -552,7 +543,13 @@ def bvh_any(packed, origins, dirs, tmin=1e-4, tmax=1e6):
         return hit
     rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
     t, u, v, prim = _run(packed, rays, any_hit=True)
-    return _untile(prim, n) >= 0
+    # dead lanes (tmax < tmin, e.g. chunk-retired rays) latch prim=0 inside
+    # the kernel for the early-exit check; normalize them back to "no hit"
+    # so every any-hit backend agrees on the full input domain
+    alive = jnp.broadcast_to(
+        jnp.asarray(tmax, jnp.float32), origins.shape[:1]
+    ) >= jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), origins.shape[:1])
+    return (_untile(prim, n) >= 0) & alive
 
 
 def sort_rays_for_traversal(origins, dirs, dead=None):
