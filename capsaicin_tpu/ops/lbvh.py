@@ -140,7 +140,7 @@ def build_lbvh(tris, leaf_size: int = 4) -> BVH:
     )
 
 
-def build_median_bvh(tris, leaf_size: int = 4) -> BVH:
+def build_median_bvh(tris, leaf_size: int = 4, to_device: bool = True) -> BVH:
     """Host-side (NumPy) object-median build: same implicit-heap layout as
     build_lbvh, but each split partitions its triangle range at the slot
     midpoint by centroid along the locally longest axis instead of relying
@@ -212,11 +212,16 @@ def build_median_bvh(tris, leaf_size: int = 4) -> BVH:
     nodes_max = np.concatenate([np.full((1, 3), -inf)] + levels_max[::-1])
 
     f32 = np.float32
+    conv = jnp.asarray if to_device else (lambda x: x)
+    # to_device=False keeps everything NumPy: callers that post-process the
+    # arrays on the host (wavefront packing) avoid ~14 device round trips,
+    # each of which costs a remote transfer-program compile on a tunneled
+    # TPU (measured: minutes of pure overhead at colonnade scale).
     return BVH(
-        nodes_min=jnp.asarray(nodes_min.astype(f32)),
-        nodes_max=jnp.asarray(nodes_max.astype(f32)),
-        tri_v0=jnp.asarray(gv0.astype(f32)),
-        tri_e1=jnp.asarray((gv1 - gv0).astype(f32)),
-        tri_e2=jnp.asarray((gv2 - gv0).astype(f32)),
-        tri_id=jnp.asarray(tri_id),
+        nodes_min=conv(nodes_min.astype(f32)),
+        nodes_max=conv(nodes_max.astype(f32)),
+        tri_v0=conv(gv0.astype(f32)),
+        tri_e1=conv((gv1 - gv0).astype(f32)),
+        tri_e2=conv((gv2 - gv0).astype(f32)),
+        tri_id=conv(tri_id),
     )

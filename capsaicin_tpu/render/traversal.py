@@ -52,7 +52,16 @@ def make_brute_force(scene):
 
 
 def make_bvh(scene, bvh):
-    from ..ops import pallas_traverse, traverse
+    from ..ops import pallas_traverse, traverse, wavefront
+
+    if isinstance(bvh, wavefront.WavefrontBVH):
+        def closest(origins, dirs, tmin, tmax):
+            return wavefront.wavefront_closest(bvh, origins, dirs, tmin, tmax)
+
+        def any_hit(origins, dirs, tmin, tmax):
+            return wavefront.wavefront_any(bvh, origins, dirs, tmin, tmax)
+
+        return closest, any_hit
 
     if isinstance(bvh, (pallas_traverse.PackedBVH, pallas_traverse.PackedBVHSet)):
         # packet-traversal Pallas kernel (TPU production path)
@@ -73,26 +82,37 @@ def make_bvh(scene, bvh):
     return closest, any_hit
 
 
+
+
 def build_accel(scene, mode: str):
     """Build the acceleration structure for the resolved traversal mode:
-    the BLAS/TLAS-build analog (blas_system.cpp / tlas_system.cpp)."""
-    import jax
+    the BLAS/TLAS-build analog (blas_system.cpp / tlas_system.cpp).
 
+    `scene` should be the HOST-side Scene (numpy arrays): builders do their
+    heavy lifting on the host, and pulling geometry device->host first is
+    pathologically slow on tunneled TPUs (~minutes for MBs)."""
+    import jax
+    import numpy as np
+
+    if mode not in ("static", "bvh", "wavefront"):
+        return None
+    tris_np = np.stack(
+        [np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
+         np.asarray(scene.tri_v2)], axis=1,
+    ).astype(np.float32)
     if mode == "static":
         from ..ops import pallas_static
 
-        tris = jnp.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1)
-        return pallas_static.build_static(tris)
-    if mode != "bvh":
-        return None
-    tris = jnp.stack([scene.tri_v0, scene.tri_v1, scene.tri_v2], axis=1)
+        return pallas_static.build_static(jnp.asarray(tris_np))
+    if mode == "wavefront":
+        from ..ops import wavefront
+
+        return wavefront.build_wavefront_bvh(tris_np)
     from ..ops import lbvh, pallas_traverse
 
-    # The packet kernel needs the whole scene VMEM-resident (~300k tris);
-    # bigger scenes (or non-TPU backends) use the XLA lockstep traversal.
     if jax.default_backend() == "tpu":
-        return pallas_traverse.build_packed_bvh(tris)
-    return lbvh.build_lbvh(tris)
+        return pallas_traverse.build_packed_bvh(jnp.asarray(tris_np))
+    return lbvh.build_lbvh(jnp.asarray(tris_np))
 
 
 def resolve_mode(mode: str, num_triangles: int) -> str:
@@ -125,9 +145,9 @@ def make_traversal(scene, mode: str, bvh=None):
             return pallas_static.static_any(bvh, origins, dirs, tmin, tmax)
 
         return closest, any_hit
-    if mode == "bvh":
+    if mode in ("bvh", "wavefront"):
         if bvh is None:
-            raise ValueError("bvh traversal requested but no BVH was built")
+            raise ValueError(f"{mode} traversal requested but no BVH was built")
         return make_bvh(scene, bvh)
     raise ValueError(f"unknown traversal mode {mode!r}")
 
