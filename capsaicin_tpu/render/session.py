@@ -202,6 +202,10 @@ class RenderSession:
 
                 bounce = with_ray_sorting(closest)
                 bounce_any = with_ray_sorting_any(any_hit)
+            elif mode == "cull":
+                from .traversal import make_bounce_fns
+
+                bounce, bounce_any = make_bounce_fns(bvh)
             return pipeline.render_frame(
                 scene, closest, any_hit, camera, state, settings, noise,
                 width, height, options,
@@ -209,7 +213,7 @@ class RenderSession:
                 # packet traversal halves its footprint when primary/shadow
                 # rays arrive in 8x128 pixel blocks; brute/static kernels
                 # are order-insensitive so only bvh mode pays the transposes
-                trace_block_order=(mode == "bvh"),
+                trace_block_order=(mode in ("bvh", "cull")),
             )
 
         fn = jax.jit(step, donate_argnums=(3,))

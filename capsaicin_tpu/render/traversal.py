@@ -52,7 +52,19 @@ def make_brute_force(scene):
 
 
 def make_bvh(scene, bvh):
-    from ..ops import pallas_traverse, traverse, wavefront
+    from ..ops import cull, pallas_traverse, traverse, wavefront
+
+    if isinstance(bvh, cull.CullBVH):
+        # dense-cull funnel (ops/cull.py): coherent packet tests for
+        # primary/shadow rays; callers get the incoherent per-ray-test
+        # variant for bounce rays via make_bounce_fns
+        def closest(origins, dirs, tmin, tmax):
+            return cull.cull_closest(bvh, origins, dirs, tmin, tmax)
+
+        def any_hit(origins, dirs, tmin, tmax):
+            return cull.cull_any(bvh, origins, dirs, tmin, tmax)
+
+        return closest, any_hit
 
     if isinstance(bvh, wavefront.WavefrontBVH):
         def closest(origins, dirs, tmin, tmax):
@@ -94,7 +106,7 @@ def build_accel(scene, mode: str):
     import jax
     import numpy as np
 
-    if mode not in ("static", "bvh", "wavefront"):
+    if mode not in ("static", "bvh", "wavefront", "cull"):
         return None
     tris_np = np.stack(
         [np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
@@ -108,6 +120,10 @@ def build_accel(scene, mode: str):
         from ..ops import wavefront
 
         return wavefront.build_wavefront_bvh(tris_np)
+    if mode == "cull":
+        from ..ops import cull
+
+        return cull.build_cull_bvh(tris_np)
     from ..ops import lbvh, pallas_traverse
 
     if jax.default_backend() == "tpu":
@@ -145,11 +161,28 @@ def make_traversal(scene, mode: str, bvh=None):
             return pallas_static.static_any(bvh, origins, dirs, tmin, tmax)
 
         return closest, any_hit
-    if mode in ("bvh", "wavefront"):
+    if mode in ("bvh", "wavefront", "cull"):
         if bvh is None:
             raise ValueError(f"{mode} traversal requested but no BVH was built")
         return make_bvh(scene, bvh)
     raise ValueError(f"unknown traversal mode {mode!r}")
+
+
+def make_bounce_fns(bvh):
+    """Incoherent-ray (diffuse bounce) trace functions for the dense-cull
+    backend: per-ray slab tests instead of packet interval tests (the only
+    test that stays tight for scattered directions), wrapped with morton
+    ray sorting so packets keep origin locality."""
+    from ..ops import cull
+
+    def closest(origins, dirs, tmin, tmax):
+        return cull.cull_closest(bvh, origins, dirs, tmin, tmax,
+                                 coherent=False)
+
+    def any_hit(origins, dirs, tmin, tmax):
+        return cull.cull_any(bvh, origins, dirs, tmin, tmax, coherent=False)
+
+    return with_ray_sorting(closest), with_ray_sorting_any(any_hit)
 
 
 def with_ray_sorting(closest_fn):

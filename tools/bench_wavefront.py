@@ -34,7 +34,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--target", type=int, default=250_000)
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--backend", default="both", choices=["both", "wavefront", "packet"])
+    ap.add_argument("--backend", default="both",
+                    choices=["both", "wavefront", "packet", "cull"])
     args = ap.parse_args()
 
     from capsaicin_tpu.ops import wavefront as wf, pallas_traverse as pt
@@ -69,9 +70,11 @@ def main():
         times = []
         for i in range(args.iters):
             o, d = rays_for(i + 1)
-            jax.block_until_ready((o, d))
+            float(o.sum())  # materialize inputs (block_until_ready can lie
+            # through the axon tunnel; only value fetches truly synchronize)
             t0 = time.perf_counter()
-            res = jax.block_until_ready(cjit(o, d))
+            res = cjit(o, d)
+            float(res["t"].sum())
             times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
         print(json.dumps({
@@ -89,9 +92,9 @@ def main():
             oh = o + d * (tt * 0.999)[:, None]
             dd = jnp.broadcast_to(ld, oh.shape)
             tm = jnp.where(res["prim"] >= 0, 1e6, -1.0)
-            jax.block_until_ready((oh, dd))
+            float(oh.sum())
             t0 = time.perf_counter()
-            jax.block_until_ready(ajit(oh, dd, tm))
+            float(ajit(oh, dd, tm).sum())
             if i:
                 times.append(time.perf_counter() - t0)
         dt = float(np.median(times))
@@ -105,6 +108,11 @@ def main():
               wf.wavefront_closest, wf.wavefront_any)
     if args.backend in ("both", "packet"):
         bench("packet", pt.build_packed_bvh, pt.bvh_closest, pt.bvh_any)
+    if args.backend == "cull":
+        from capsaicin_tpu.ops import cull
+
+        bench("cull", lambda t: cull.build_cull_bvh(np.asarray(t)),
+              cull.cull_closest, cull.cull_any)
 
 
 if __name__ == "__main__":
