@@ -26,13 +26,13 @@ import time
 NORTH_STAR_MRAYS = 150.0
 
 
-def rays_per_frame(width, height, bounces, lowres):
+def rays_per_frame(width, height, bounces, lowres, spp=1):
     full = width * height
     half = full // 4 if lowres else full
-    # primary + direct shadow at full res; per bounce: 1 indirect ray and,
-    # for bounces >= 1, 1 NEE shadow ray at indirect res
-    indirect = half * bounces  # bounce rays traced (final trace is dead-skipped)
-    nee = half * bounces
+    # primary + direct shadow at full res; per bounce AND per spp sample:
+    # 1 indirect ray and, for bounces >= 1, 1 NEE shadow ray at indirect res
+    indirect = half * bounces * spp  # bounce rays (final trace dead-skipped)
+    nee = half * bounces * spp
     return full * 2 + indirect + nee
 
 
@@ -54,7 +54,7 @@ assert FLAGSHIP in CONFIGS
 
 
 def run_config(width, height, bounces, scene_name, traversal, frames, lowres=False,
-               extra_options=None):
+               extra_options=None, spp=1, frames_per_dispatch=1):
     import numpy as np
 
     from capsaicin_tpu.render import RenderOptions, RenderSession
@@ -63,7 +63,7 @@ def run_config(width, height, bounces, scene_name, traversal, frames, lowres=Fal
         colonnade, cornell_box, cornell_box_textured, make_camera,
     )
 
-    opt_kw = dict(num_diffuse_bounces=bounces, lowres_indirect=lowres)
+    opt_kw = dict(num_diffuse_bounces=bounces, lowres_indirect=lowres, spp=spp)
     opt_kw.update(extra_options or {})
     options = RenderOptions(**opt_kw)
     session = RenderSession(width=width, height=height, options=options, traversal=traversal)
@@ -77,25 +77,38 @@ def run_config(width, height, bounces, scene_name, traversal, frames, lowres=Fal
     else:
         session.set_scene(build_scene(cornell_box()))
 
-    # compile + warm up
-    session.render()
-    session.render()
+    k = max(int(frames_per_dispatch), 1)
+    if k > 1:
+        # on-device frame loop: K frames per dispatch (lax.fori_loop with
+        # carried state) — removes the per-frame host dispatch overhead
+        session.render_loop(k)  # compile + warm
+        dispatches = max(frames // k, 1)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(dispatches):
+            out = session.render_loop(k)
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / (dispatches * k)
+    else:
+        # compile + warm up
+        session.render()
+        session.render()
 
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(frames):
-        out = session.render_async()
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / frames
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(frames):
+            out = session.render_async()
+        out.block_until_ready()
+        dt = (time.perf_counter() - t0) / frames
 
     img = np.asarray(out)
     assert np.all(np.isfinite(img)), "non-finite pixels in benchmark render"
-    mrays = rays_per_frame(width, height, bounces, lowres) / dt / 1e6
+    mrays = rays_per_frame(width, height, bounces, lowres, spp) / dt / 1e6
     return {
         "mrays_per_s": mrays,
         "ms_per_frame": dt * 1e3,
         "fps": 1.0 / dt,
-        "spp_per_s": 1.0 / dt,  # 1 spp per frame, progressive accumulation
+        "spp_per_s": spp / dt,  # indirect samples per second
     }
 
 
@@ -110,6 +123,13 @@ def main():
     ap.add_argument("--config", default=None, choices=sorted(CONFIGS),
                     help="run a named BASELINE config instead of flags")
     ap.add_argument("--all", action="store_true")
+    ap.add_argument("--spp", type=int, default=1,
+                    help="indirect samples/pixel/frame in one dispatch "
+                         "(--config gi1080x4 --spp 64 = literal BASELINE "
+                         "config 2)")
+    ap.add_argument("--frames-per-dispatch", type=int, default=1,
+                    help="render K frames per device dispatch "
+                         "(on-device lax.fori_loop frame loop)")
     args = ap.parse_args()
 
     def run_named(name):
@@ -120,6 +140,7 @@ def main():
             lowres=cfg.get("options", {}).get("lowres_indirect", False),
             extra_options={k: v for k, v in cfg.get("options", {}).items()
                            if k != "lowres_indirect"},
+            spp=args.spp, frames_per_dispatch=args.frames_per_dispatch,
         )
 
     if args.all:
@@ -146,22 +167,25 @@ def main():
         res = run_named(args.config)
     else:
         res = run_config(
-            args.width, args.height, args.bounces, args.scene, args.traversal, args.frames
+            args.width, args.height, args.bounces, args.scene, args.traversal,
+            args.frames, spp=args.spp,
+            frames_per_dispatch=args.frames_per_dispatch,
         )
     value = round(res["mrays_per_s"], 2)
     label = "Cornell 1080p 1-bounce GI full pipeline"
     if args.config and args.config != FLAGSHIP and not args.all:
         label = f"config {args.config} full pipeline"
-    print(
-        json.dumps(
-            {
-                "metric": f"Mrays/s traversal+shade, {label}",
-                "value": value,
-                "unit": "Mrays/s",
-                "vs_baseline": round(value / NORTH_STAR_MRAYS, 3),
-            }
-        )
-    )
+    if args.spp > 1:
+        label += f" {args.spp}spp"
+    out = {
+        "metric": f"Mrays/s traversal+shade, {label}",
+        "value": value,
+        "unit": "Mrays/s",
+        "vs_baseline": round(value / NORTH_STAR_MRAYS, 3),
+    }
+    if args.spp > 1:
+        out["spp_per_s"] = round(res["spp_per_s"], 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

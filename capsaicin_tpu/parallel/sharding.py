@@ -66,6 +66,50 @@ def shard_scene(mesh: Mesh, scene):
     return jax.device_put(scene, replicated(mesh))
 
 
+def shard_trace(mesh: Mesh, scene, bvh, select):
+    """shard_map a ray-batch trace function over the mesh.
+
+    XLA's SPMD partitioner handles every jnp pass automatically, but a
+    `pallas_call` is a custom call it cannot split — so the production
+    Pallas traversal kernels (pallas_traverse / pallas_intersect /
+    pallas_static) must be placed per-shard explicitly. Rays are
+    embarrassingly parallel: each device runs the UNCHANGED single-chip
+    kernel on its slice of the ray batch with the scene/BVH replicated
+    (SURVEY.md §2.4 row 5 — shard_map over image tiles).
+
+    `select(scene, bvh) -> fn(origins, dirs, tmin, tmax)` builds the
+    single-chip trace function; it runs at trace time INSIDE the shard, so
+    sorting wrappers (with_ray_sorting) sort per-shard — locality where the
+    packets actually form, and no cross-chip argsort collectives.
+
+    scene/bvh are passed as explicit shard_map operands (replicated spec):
+    closure capture of traced arrays is rejected by shard_map. tmin/tmax
+    are broadcast to per-ray [N] so scalar and per-ray callers shard alike.
+    Returns a fn with the standard backend signature whose outputs are
+    row-sharded like its ray inputs.
+    """
+    import jax.numpy as jnp
+
+    def fn(origins, dirs, tmin, tmax):
+        n = origins.shape[0]
+        tmn = jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), (n,))
+        tmx = jnp.broadcast_to(jnp.asarray(tmax, jnp.float32), (n,))
+
+        def local(sb, o, d, a, b):
+            scene_, bvh_ = sb
+            return select(scene_, bvh_)(o, d, a, b)
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(ROWS), P(ROWS), P(ROWS), P(ROWS)),
+            out_specs=P(ROWS),
+            check_vma=False,
+        )((scene, bvh), origins, dirs, tmn, tmx)
+
+    return fn
+
+
 def build_sharded_step(mesh: Mesh, step_fn, height: int, example_state, example_args):
     """jit `step_fn(scene, bvh, camera, state, settings, noise)` with row
     sharding on the per-pixel state/outputs and replication elsewhere.

@@ -226,12 +226,20 @@ def indirect_gi(
     options: RenderOptions,
     closest_bounce_fn=None,
     any_bounce_fn=None,
+    noise_frame=None,
 ):
     """Iterative path loop restructured as a wavefront over all pixels with
     lane masking (rt_indirect.hlsl:42-175). Rays for every pixel advance in
     lock-step through bounces; inactive lanes are masked. The final TraceRay
     of the reference's last iteration is provably dead (its payload is never
-    shaded) and is skipped."""
+    shaded) and is skipped.
+
+    noise_frame: seed frame for the blue-noise sample sets (defaults to
+    frame_count). Batched-spp rendering passes virtual frames
+    frame*spp+s here so each sample draws a disjoint set while the light
+    animation and interleave phase stay those of the real frame."""
+    if noise_frame is None:
+        noise_frame = frame_count
     if options.lowres_indirect:
         w2, h2 = width // 2, height // 2
         ox, oy = interleave_offset(frame_count)
@@ -378,11 +386,11 @@ def indirect_gi(
         # by tiling instead of a per-pixel gather (sampling.bluenoise4x4_field)
         if options.lowres_indirect:
             s = sampling.bluenoise4x4_field(
-                noise, w2, h2, frame_count * 25 + bounce, stride=2, offset=(ox, oy)
+                noise, w2, h2, noise_frame * 25 + bounce, stride=2, offset=(ox, oy)
             ).reshape(-1, 2)
         else:
             s = sampling.bluenoise4x4_field(
-                noise, w2, h2, frame_count * 25 + bounce
+                noise, w2, h2, noise_frame * 25 + bounce
             ).reshape(-1, 2)
         d, brdf, pdf = shading.lambert_sample(s, n)
         active = active & (pdf >= 1e-5)
@@ -418,6 +426,34 @@ def _subsampled_nd(nd, frame_count, width, height, options: RenderOptions):
     return oct, depth
 
 
+# Trace-time override: RenderSession(mesh=...) renders under SPMD, where
+# the roll+mask jnp stencils are the right implementation — XLA's SPMD
+# partitioner turns each roll into exactly the halo collective-permute a
+# hand-written shard_map exchange would, while a pallas_call is a custom
+# call it cannot split. The Pallas tile kernels stay the single-chip fast
+# path; traversal (the dominant cost) keeps its Pallas kernels under SPMD
+# via parallel.sharding.shard_trace.
+_FORCE_JNP_STENCILS = False
+
+
+def stencil_jnp_scope():
+    """Context manager forcing the jnp stencil path for code traced inside
+    (used by the mesh-mode frame builder; tracing happens in the body)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def scope():
+        global _FORCE_JNP_STENCILS
+        prev = _FORCE_JNP_STENCILS
+        _FORCE_JNP_STENCILS = True
+        try:
+            yield
+        finally:
+            _FORCE_JNP_STENCILS = prev
+
+    return scope()
+
+
 def _use_pallas_stencil() -> bool:
     """The Pallas stencil kernels replace the roll+mask jnp stencils on TPU
     (each jnp tap materializes a full [H,W,C] temporary; the kernels read
@@ -425,6 +461,8 @@ def _use_pallas_stencil() -> bool:
     off-TPU for equivalence tests; =0 forces the jnp path everywhere."""
     import os
 
+    if _FORCE_JNP_STENCILS:
+        return False
     flag = os.environ.get("CAPSAICIN_PALLAS_STENCIL")
     if flag is not None:
         return flag == "1"

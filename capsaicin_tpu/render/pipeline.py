@@ -109,24 +109,39 @@ def render_frame(
         block_order=trace_block_order,
     )
 
-    # 3. indirect diffuse GI
-    indirect = passes.indirect_gi(
-        scene,
-        closest_fn,
-        any_fn,
-        camera,
-        prev_camera,
-        gb,
-        state.combined_history.astype(jnp.float32),
-        prev_nd,
-        noise,
-        width,
-        height,
-        frame_count,
-        options,
-        closest_bounce_fn=closest_bounce_fn,
-        any_bounce_fn=any_bounce_fn,
-    )
+    # 3. indirect diffuse GI — options.spp independent sample sets in ONE
+    # dispatch (an on-device fori_loop over disjoint blue-noise seeds),
+    # mean-accumulated before the post stack. BASELINE config 2's
+    # "64 spp" is spp=64 here instead of 64 progressive frames.
+    def gi_sample(noise_frame):
+        return passes.indirect_gi(
+            scene,
+            closest_fn,
+            any_fn,
+            camera,
+            prev_camera,
+            gb,
+            state.combined_history.astype(jnp.float32),
+            prev_nd,
+            noise,
+            width,
+            height,
+            frame_count,
+            options,
+            closest_bounce_fn=closest_bounce_fn,
+            any_bounce_fn=any_bounce_fn,
+            noise_frame=noise_frame,
+        )
+
+    spp = max(int(options.spp), 1)
+    if spp == 1:
+        indirect = gi_sample(frame_count)
+    else:
+        def body(s, acc):
+            return acc + gi_sample(frame_count * spp + s)
+
+        indirect = jax.lax.fori_loop(
+            1, spp, body, gi_sample(frame_count * spp)) / spp
 
     # 4. spatial gather
     if options.gather:

@@ -60,7 +60,23 @@ class RenderSession:
         settings: Optional[Settings] = None,
         traversal: str = "auto",
         camera: Optional[Camera] = None,
+        mesh=None,
     ):
+        """mesh: an optional `jax.sharding.Mesh` (see parallel.sharding).
+        When set, frames render SPMD over the mesh: per-pixel state and the
+        framebuffer are sharded over image rows, scene/BVH replicated, and
+        the traversal kernels run per-shard via shard_map (the TPU-native
+        multi-chip scale-out of the reference's single-GPU pixel
+        parallelism, SURVEY.md §2.4). `height` must divide by the mesh
+        size. Example:
+
+            mesh = capsaicin_tpu.parallel.sharding.make_mesh()
+            sess = RenderSession(1920, 1080, mesh=mesh)
+        """
+        if mesh is not None and height % mesh.size != 0:
+            raise ValueError(
+                f"height {height} must divide by mesh size {mesh.size}")
+        self.mesh = mesh
         self.width = width
         self.height = height
         self.options = options or RenderOptions()
@@ -86,11 +102,20 @@ class RenderSession:
     def set_scene(self, scene: Scene):
         """Upload the scene and (re)build acceleration structures — the
         analog of AssetLoad + BLAS + TLAS systems firing on the next frame."""
-        self.scene_dev = jax.device_put(scene)
+        if self.mesh is not None:
+            from ..parallel import sharding as sh
+
+            self.scene_dev = sh.shard_scene(self.mesh, scene)
+        else:
+            self.scene_dev = jax.device_put(scene)
         mode = resolve_mode(self.traversal_mode, scene.tri_v0.shape[0])
         from .traversal import build_accel
 
         self.bvh = build_accel(self.scene_dev, mode)
+        if self.mesh is not None and self.bvh is not None:
+            from ..parallel import sharding as sh
+
+            self.bvh = jax.device_put(self.bvh, sh.replicated(self.mesh))
         self._resolved_mode = mode
         self._frame_fn = None
         self._fn_cache.clear()
@@ -103,6 +128,10 @@ class RenderSession:
         """Reset temporal accumulation (history) — what the reference does
         implicitly through frame_count==0 disocclusion."""
         self.state = pipeline.init_state(self.width, self.height, self.camera, self.options)
+        if self.mesh is not None:
+            from ..parallel import sharding as sh
+
+            self.state = sh.shard_frame_state(self.mesh, self.state, self.height)
 
     def set_options(self, options: RenderOptions):
         """Changing static options recompiles (like the reference rebuilding
@@ -180,21 +209,25 @@ class RenderSession:
 
     # -- frame ------------------------------------------------------------
 
-    def _build_frame_fn(self, options: Optional[RenderOptions] = None):
+    def _build_frame_fn(self, options: Optional[RenderOptions] = None,
+                        loop_frames: Optional[int] = None):
         mode = self._resolved_mode
         width, height = self.width, self.height
         options = self.options if options is None else options
         # process-wide cache: the jitted step closes over ONLY
-        # (mode, resolution, options) — scene/bvh/state are traced args —
-        # so identical configs across sessions share one compile (the
-        # reference's PSO cache analog)
-        key = (mode, width, height, options)
+        # (mode, resolution, options, mesh, loop) — scene/bvh/state are
+        # traced args — so identical configs across sessions share one
+        # compile (the reference's PSO cache analog)
+        key = (mode, width, height, options, self.mesh, loop_frames)
         cached = _GLOBAL_FN_CACHE.get(key)
         if cached is not None:
             _GLOBAL_FN_CACHE.move_to_end(key)
             return cached
 
-        def step(scene, bvh, camera, state, settings, noise):
+        mesh = self.mesh
+
+        def make_fns(scene, bvh):
+            """(closest, any, bounce, bounce_any) single-chip trace fns."""
             closest, any_hit = make_traversal(scene, mode, bvh)
             bounce = bounce_any = None
             if mode == "bvh" and options.sort_bounce_rays:
@@ -206,17 +239,70 @@ class RenderSession:
                 from .traversal import make_bounce_fns
 
                 bounce, bounce_any = make_bounce_fns(bvh)
-            return pipeline.render_frame(
-                scene, closest, any_hit, camera, state, settings, noise,
-                width, height, options,
-                closest_bounce_fn=bounce, any_bounce_fn=bounce_any,
-                # packet traversal halves its footprint when primary/shadow
-                # rays arrive in 8x128 pixel blocks; brute/static kernels
-                # are order-insensitive so only bvh mode pays the transposes
-                trace_block_order=(mode in ("bvh", "cull")),
-            )
+            return closest, any_hit, bounce, bounce_any
 
-        fn = jax.jit(step, donate_argnums=(3,))
+        def step(scene, bvh, camera, state, settings, noise):
+            if mesh is None:
+                closest, any_hit, bounce, bounce_any = make_fns(scene, bvh)
+            else:
+                # SPMD: the SAME kernel selection runs per-shard — rays are
+                # sharded, scene/BVH replicated, sorting wrappers sort
+                # locally (parallel.sharding.shard_trace)
+                from ..parallel import sharding as sh
+
+                def pick(i):
+                    if make_fns(scene, bvh)[i] is None:
+                        return None
+                    return sh.shard_trace(
+                        mesh, scene, bvh, lambda s, b: make_fns(s, b)[i])
+
+                closest, any_hit, bounce, bounce_any = (
+                    pick(0), pick(1), pick(2), pick(3))
+            from contextlib import nullcontext
+
+            from . import passes
+
+            scope = passes.stencil_jnp_scope() if mesh is not None \
+                else nullcontext()
+            with scope:
+                return pipeline.render_frame(
+                    scene, closest, any_hit, camera, state, settings, noise,
+                    width, height, options,
+                    closest_bounce_fn=bounce, any_bounce_fn=bounce_any,
+                    # packet traversal halves its footprint when
+                    # primary/shadow rays arrive in 8x128 pixel blocks;
+                    # brute/static kernels are order-insensitive so only
+                    # bvh mode pays the transposes
+                    trace_block_order=(mode in ("bvh", "cull")),
+                )
+
+        if loop_frames is None:
+            body_fn = step
+        else:
+            k = int(loop_frames)
+
+            def body_fn(scene, bvh, camera, state, settings, noise):
+                # K frames in one dispatch: amortizes the per-frame host
+                # dispatch round trip (~1-2 ms through the device tunnel —
+                # what capped small configs) for offline/progressive
+                # rendering. Camera is held for the whole dispatch.
+                def body(_, carry):
+                    _, st = carry
+                    return step(scene, bvh, camera, st, settings, noise)
+
+                disp0 = jnp.zeros((height, width, 3), jnp.float32)
+                return jax.lax.fori_loop(0, k, body, (disp0, state))
+
+        if mesh is None:
+            fn = jax.jit(body_fn, donate_argnums=(3,))
+        else:
+            from ..parallel import sharding as sh
+
+            fn = sh.build_sharded_step(
+                mesh, body_fn, height, self.state,
+                (self.scene_dev, self.bvh, self.camera, self.state,
+                 self.settings, self.noise),
+            )
         _GLOBAL_FN_CACHE[key] = fn
         while len(_GLOBAL_FN_CACHE) > _GLOBAL_FN_CACHE_CAP:
             _GLOBAL_FN_CACHE.popitem(last=False)
@@ -237,6 +323,24 @@ class RenderSession:
         display.block_until_ready()
         self._timings["frame"] = time.perf_counter() - t0
         return np.asarray(display)
+
+    def render_loop(self, frames: int, camera: Optional[Camera] = None):
+        """Render `frames` frames in ONE device dispatch (lax.fori_loop over
+        the frame step with carried state) and return the last display image
+        as a device array. Amortizes the per-frame host dispatch overhead
+        (~1-2 ms through a tunneled device — what launch-bound small configs
+        pay per frame); the camera is held constant within the dispatch, so
+        this is the offline/progressive accumulation fast path."""
+        if self.scene_dev is None:
+            raise RuntimeError("set_scene() first")
+        if camera is not None:
+            self.camera = camera
+        fn = self._build_frame_fn(loop_frames=frames)
+        display, self.state = fn(
+            self.scene_dev, self.bvh, self.camera, self.state, self.settings,
+            self.noise,
+        )
+        return display
 
     def render_async(self, camera: Optional[Camera] = None):
         """Dispatch a frame without blocking (XLA async dispatch replaces the

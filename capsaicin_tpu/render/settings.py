@@ -39,6 +39,12 @@ class RenderOptions:
     eaw5: bool = True  # SettingsComponent.eaw5 (5-stage EAW chain)
     taa: bool = True
     num_diffuse_bounces: int = 1  # 0..5 (gui_system.cpp:74)
+    spp: int = 1  # indirect samples per pixel per frame, traced in ONE
+    # dispatch (lax.fori_loop over disjoint blue-noise sample sets,
+    # mean-accumulated before the post stack). spp=64 renders BASELINE
+    # config 2 ("1080p 4-bounce GI+NEE 64 spp") in a single frame instead
+    # of 64 progressive ones. The light animation and interleave phase stay
+    # those of the real frame; only the sample-set seed varies.
     output: int = OUTPUT_COMBINED
     sort_bounce_rays: bool = True  # morton/octant-sort bounce rays before
     # BVH traversal (wavefront ray reordering). Essential for packet

@@ -1,6 +1,13 @@
 """Multichip test body, executed in a subprocess with an 8-virtual-device
-CPU mesh (see test_multichip.py). Asserts the row-sharded frame step equals
-the single-device render."""
+CPU mesh (see test_multichip.py). Asserts:
+
+1. The PRODUCT multi-chip path — ``RenderSession(mesh=...)`` (row-sharded
+   state, replicated scene/BVH, shard_map'd traversal, SPMD stencils) —
+   renders frames equal to the plain single-device session.
+2. The production Pallas packet-traversal kernel composes with shard_map
+   (interpret mode on CPU): the sharded trace selects the SAME kernel as
+   single-chip and returns identical results.
+"""
 
 import os
 import sys
@@ -19,59 +26,73 @@ def main(n_dev: int) -> None:
     # (measured: rc=-6 with cpu_aot_loader feature-mismatch errors). The
     # cold SPMD compile (~80s) is the price of a deterministic run.
 
-    from capsaicin_tpu.ops import lbvh
     from capsaicin_tpu.parallel import sharding as sh
-    from capsaicin_tpu.render import pipeline
-    from capsaicin_tpu.render.settings import RenderOptions, default_settings
-    from capsaicin_tpu.render.traversal import make_traversal
-    from capsaicin_tpu.scene import build_scene, textures
+    from capsaicin_tpu.render.session import RenderSession
+    from capsaicin_tpu.render.settings import RenderOptions
+    from capsaicin_tpu.scene import build_scene
     from capsaicin_tpu.scene.procedural import cornell_box, make_camera
 
     assert len(jax.devices()) >= n_dev, jax.devices()
     width, height = 64, 8 * n_dev
     # slim options: what is under test is the sharding of every pass family
-    # (traversal loop, row-sharded gathers, stencil halo exchange via TAA),
-    # not the full 5-stage EAW chain whose SPMD compile alone costs ~60s
+    # (traversal, row-sharded gathers, gather+denoise stencil halo
+    # exchange, TAA), not the full 5-stage EAW chain whose SPMD compile
+    # alone costs ~60s
     options = RenderOptions(eaw5=False)
     scene_host = build_scene(cornell_box())
     camera = make_camera("cornell", width, height)
-    settings = default_settings()
-    noise = jnp.asarray(textures.blue_noise_256())
 
-    def step(scene, bvh, camera, state, settings, noise):
-        closest, any_hit = make_traversal(scene, "bvh", bvh)
-        return pipeline.render_frame(
-            scene, closest, any_hit, camera, state, settings, noise,
-            width, height, options,
-        )
+    # single-device product reference
+    ref_sess = RenderSession(
+        width, height, options=options, traversal="bvh", camera=camera)
+    ref_sess.set_scene(scene_host)
+    ref1 = ref_sess.render()
+    ref2 = ref_sess.render()
 
-    # single-device reference
-    scene1 = jax.device_put(scene_host)
-    tris = jnp.stack([scene1.tri_v0, scene1.tri_v1, scene1.tri_v2], axis=1)
-    bvh1 = lbvh.build_lbvh(tris, leaf_size=2)
-    state1 = pipeline.init_state(width, height, camera, options)
-    ref, ref_state = jax.jit(step)(scene1, bvh1, camera, state1, settings, noise)
-
-    # sharded run
+    # the product mesh path
     mesh = sh.make_mesh(jax.devices()[:n_dev])
-    scene8 = sh.shard_scene(mesh, scene_host)
-    bvh8 = jax.device_put(bvh1, sh.replicated(mesh))
-    state8 = sh.shard_frame_state(
-        mesh, pipeline.init_state(width, height, camera, options), height
-    )
-    step8 = sh.build_sharded_step(
-        mesh, step, height, state8, (scene8, bvh8, camera, state8, settings, noise)
-    )
-    out, out_state = step8(scene8, bvh8, camera, state8, settings, noise)
-
-    assert out.sharding.num_devices == n_dev
+    sess = RenderSession(
+        width, height, options=options, traversal="bvh", camera=camera,
+        mesh=mesh)
+    sess.set_scene(scene_host)
+    disp = sess.render_async()
+    assert disp.sharding.num_devices == n_dev, disp.sharding
+    out1 = np.asarray(disp)
     # sharded execution reassociates float reductions; allow small drift
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
-    assert int(out_state.frame_count) == 1
+    np.testing.assert_allclose(out1, ref1, atol=1e-3)
+    # second frame runs with the carried (sharded, donated) state
+    out2 = sess.render()
+    np.testing.assert_allclose(out2, ref2, atol=1e-3)
+    assert int(sess.state.frame_count) == 2
 
-    # second frame runs with the carried (sharded) state
-    out2, _ = step8(scene8, bvh8, camera, out_state, settings, noise)
-    assert np.all(np.isfinite(np.asarray(out2)))
+    # Pallas packet kernel x shard_map: identical kernel, identical result
+    from capsaicin_tpu.ops import pallas_traverse as pt
+
+    tris = jnp.asarray(scene_host.triangles())
+    packed = pt.build_packed_bvh(tris)
+    rng = np.random.default_rng(7)
+    n_rays = 64 * n_dev
+    o = jnp.asarray(rng.uniform(-1.5, 1.5, (n_rays, 3)).astype(np.float32))
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    want = pt.bvh_closest(packed, o, d, 0.0, 1e6)
+    packed_rep = jax.device_put(packed, sh.replicated(mesh))
+    sharded = sh.shard_trace(
+        mesh, None, packed_rep,
+        lambda _scene, bvh: lambda oo, dd, a, b: pt.bvh_closest(
+            bvh, oo, dd, a, b))
+    got = sharded(o, d, 0.0, 1e6)
+    for k in ("t", "u", "v", "prim"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=k)
+    want_any = pt.bvh_any(packed, o, d, 1e-4, 1e6)
+    sharded_any = sh.shard_trace(
+        mesh, None, packed_rep,
+        lambda _scene, bvh: lambda oo, dd, a, b: pt.bvh_any(
+            bvh, oo, dd, a, b))
+    np.testing.assert_array_equal(
+        np.asarray(sharded_any(o, d, 1e-4, 1e6)), np.asarray(want_any))
+
     print(f"multichip impl OK ({n_dev} devices)")
 
 
