@@ -229,6 +229,35 @@ def colonnade(target_tris: int = 250_000, seed: int = 42) -> List[MeshData]:
     return meshes
 
 
+def colonnade_textured(
+    target_tris: int = 250_000, seed: int = 42
+) -> Tuple[List[MeshData], dict]:
+    """Sponza-class ingest scene: the colonnade at full triangle count with
+    THREE materials, two of them textured (checker floor/walls, striped
+    spheres, plain stone beams/columns). The reference viewer points at
+    sponza.obj (src/viewer/main.cpp:88) — a ~260k-tri multi-material
+    textured OBJ; this is the equivalent stress case for the OBJ/MTL/PNG
+    ingest path (asset_load_system.cpp:40-160) built from scratch."""
+    meshes = colonnade(target_tris, seed)
+    m_floor = Material(
+        "stone_floor", kd=(0.6, 0.58, 0.55), diffuse_texname="checker.png"
+    )
+    m_marble = Material(
+        "marble", kd=(0.62, 0.6, 0.58), diffuse_texname="stripes.png"
+    )
+    for mesh in meshes:
+        if mesh.name == "room":
+            mesh.material = m_floor
+            mesh.texture_name = m_floor.diffuse_texname
+        elif mesh.name.startswith("sphere"):
+            mesh.material = m_marble
+            mesh.texture_name = m_marble.diffuse_texname
+    return meshes, {
+        "checker.png": checker_texture(),
+        "stripes.png": stripe_texture(),
+    }
+
+
 def write_obj(path: str, meshes: List[MeshData], mtl_name: Optional[str] = None):
     """Serialize meshes to OBJ + MTL (exercises the ingest path)."""
     mtl_name = mtl_name or os.path.splitext(os.path.basename(path))[0] + ".mtl"
