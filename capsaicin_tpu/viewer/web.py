@@ -85,6 +85,19 @@ fetch('/settings').then(r => r.json()).then(cfg => {
   fitLabel.appendChild(fitBox);
   odiv.appendChild(fitLabel);
   window.fitBox = fitBox;
+  // vsync frame-pacing cap (gui_system.h:22)
+  const vsLabel = document.createElement('label');
+  vsLabel.textContent = 'vsync ';
+  const vsSel = document.createElement('select');
+  for (const v of [0, 30, 60, 120]) {
+    const o = document.createElement('option');
+    o.value = v; o.textContent = v === 0 ? 'off' : v + ' fps';
+    vsSel.appendChild(o);
+  }
+  vsSel.value = cfg.fps_cap || 0;
+  vsLabel.appendChild(vsSel);
+  odiv.appendChild(vsLabel);
+  window.vsSel = vsSel;
   for (const [name, spec] of Object.entries(cfg.options)) {
     const label = document.createElement('label');
     label.textContent = name + ' ';
@@ -121,7 +134,8 @@ document.getElementById('tbtn').onclick = async () => {
 let lastW = 0, lastH = 0;
 async function loop() {
   const input = {keys: [...keys], dx: acc.dx, dy: acc.dy,
-                 settings: {...changed}, options: {...optChanged}};
+                 settings: {...changed}, options: {...optChanged},
+                 fps_cap: window.vsSel ? parseInt(window.vsSel.value) : 0};
   // window-resize refit (camera_system.cpp:10-17): ask the server to render
   // at the window size, snapped to multiples of 8 (only when 'fit window'
   // is checked — see the precompile note above)
@@ -181,9 +195,13 @@ class ViewerState:
         self.aspect = session.height / session.width
         self.last_time = time.perf_counter()
         self.lock = threading.Lock()
+        # vsync analog (gui_system.h:22): target frame interval the server
+        # paces to; 0 = free-run at client request rate
+        self.fps_cap = 0
+        self._next_frame = 0.0
 
     def step(self, keys, dx, dy, settings_updates=None, option_updates=None,
-             resize=None):
+             resize=None, fps_cap=None):
         now = time.perf_counter()
         dt_ms = min((now - self.last_time) * 1e3, 100.0)
         self.last_time = now
@@ -215,10 +233,23 @@ class ViewerState:
                 self.session.use_options(
                     dataclasses.replace(self.session.options, **valid)
                 )
+        if fps_cap is not None:
+            self.fps_cap = max(int(fps_cap), 0)
         camera = self.rig.to_camera(self.focal, self.sensor_w, self.aspect)
         t0 = time.perf_counter()
         img = self.session.render(camera)
         ms = (time.perf_counter() - t0) * 1e3
+        # frame pacing: hold this response until the vsync interval elapses
+        # (the DXGI present-interval analog, gui_system.h:22)
+        if self.fps_cap > 0:
+            now2 = time.perf_counter()
+            if now2 < self._next_frame:
+                time.sleep(self._next_frame - now2)
+            self._next_frame = (
+                max(self._next_frame, now2) + 1.0 / self.fps_cap
+            )
+        else:
+            self._next_frame = time.perf_counter()
         return img, ms, moved
 
 
@@ -278,6 +309,7 @@ def serve(session, port: int = 8089, host: str = "127.0.0.1", precompile: bool =
                 self._json({
                     "knobs": knobs, "options": opts,
                     "fit_window": not precompile,
+                    "fps_cap": state.fps_cap,
                 })
                 return
             if self.path.startswith("/timings"):
@@ -306,6 +338,7 @@ def serve(session, port: int = 8089, host: str = "127.0.0.1", precompile: bool =
                     payload.get("settings") or None,
                     payload.get("options") or None,
                     payload.get("resize"),
+                    payload.get("fps_cap"),
                 )
                 frame = int(state.session.state.frame_count)
             data = _encode_jpeg(img)
