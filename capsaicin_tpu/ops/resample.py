@@ -110,6 +110,12 @@ def bicubic_taps(img, uv, dims):
             top = v00 * (1.0 - fx) + v10 * fx
             bot = v01 * (1.0 - fx) + v11 * fx
             val = top * (1.0 - fy) + bot * fy
+            # NOTE (reference-faithful quirk): d = |(i, j)| is an INTEGER
+            # offset, and Catmull-Rom cubic(1) == 0, so the 8 outer taps get
+            # exactly zero base weight — the reference's own ResampleBicubic
+            # (temporal_accumulation.hlsl:45-63) computes d the same way and
+            # degenerates identically to the luma-weighted center bilinear
+            # tap. Kept bit-faithful; do not "fix" without breaking parity.
             d = jnp.abs(cur - center_xy)
             wt = cubic(d[..., 0], 0.0, 0.5) * cubic(d[..., 1], 0.0, 0.5)
             taps.append(val)

@@ -236,3 +236,268 @@ def np_indirect_1bounce(scene, camera, noise, frame_count, xs, ys,
     )
     color = np.where((prim >= 0)[:, None], color, 0.0)
     return color
+
+
+# ---------------------------------------------------------------------------
+# Post-stack oracle: direct lighting + gather + SVGF + EAW + combine for a
+# static-camera sequence (temporal_accumulation.hlsl Accumulate,
+# spatial_gather.hlsl, eaw_blur.hlsl, combine_illumination.hlsl), all
+# re-derived here in float64 NumPy.
+
+EPS = 1e-8
+MAX_HISTORY_LENGTH = 256.0  # temporal_accumulation.hlsl:218
+FIREFLY_CLAMP = 10.0  # eaw_blur.hlsl:30-33
+SPATIAL_VARIANCE_THRESHOLD = 8.0  # eaw_blur.hlsl:141
+
+
+def np_luminance(rgb):
+    return rgb[..., 0] * 0.299 + rgb[..., 1] * 0.587 + rgb[..., 2] * 0.114
+
+
+def np_oct_roundtrip(n):
+    """oct encode->decode roundtrip (the G-buffer stores octahedral
+    normals; filters consume the decoded field)."""
+    s = np.sum(np.abs(n), -1, keepdims=True)
+    f = n[..., :2] / s
+    wrap = (1.0 - np.abs(f[..., ::-1])) * np.where(f >= 0.0, 1.0, -1.0)
+    f = np.where(n[..., 2:3] >= 0.0, f, wrap)
+    # decode
+    z = 1.0 - np.abs(f[..., 0]) - np.abs(f[..., 1])
+    t = np.clip(-z, 0.0, 1.0)[..., None]
+    xy = f + np.where(f >= 0.0, -t, t)
+    out = np.concatenate([xy, z[..., None]], -1)
+    return out / np.linalg.norm(out, axis=-1, keepdims=True)
+
+
+def _np_shift(img, dx, dy):
+    """out[y,x] = img[y+dy, x+dx] + validity mask (no wrap)."""
+    h, w = img.shape[:2]
+    rolled = np.roll(img, shift=(-dy, -dx), axis=(0, 1))
+    ys = np.arange(h)[:, None] + dy
+    xs = np.arange(w)[None, :] + dx
+    valid = (ys >= 0) & (ys < h) & (xs >= 0) & (xs < w)
+    return rolled, valid
+
+
+def _w_normal(n0, n1, s):
+    return np.power(np.maximum(np.sum(n0 * n1, -1), 0.0), s)
+
+
+def _w_depth(dc, dp, s):
+    t = np.where(s == 0.0, 0.0, np.abs(dc - dp) / np.where(s == 0.0, 1.0, s))
+    return np.exp(-t)
+
+
+def _w_luma(lc, lp, s):
+    return np.exp(-np.abs(lc - lp) / s)
+
+
+def np_direct_lighting(scene, camera, noise, frame_count, width, height):
+    """rt_direct_lighting.hlsl: NEE at primary hits, sky on miss.
+    Returns (direct [H,W,3], albedo [H,W,3], nd dict)."""
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
+    o, d = np_primary_rays(camera, xs.reshape(-1), ys.reshape(-1),
+                           width, height, frame_count)
+    prim, u, v = np_closest(scene, o, d, 0.0, 1e6)
+    miss = prim < 0
+    p, n = np_attrs(scene, prim, u, v)
+    kd = np.full((o.shape[0], 3), KD)
+    ldir, li = np_light(frame_count)
+    ndotl = np.maximum(0.0, np.sum(n * ldir, -1))
+    unshadowed = li[None] / np.pi * kd * ndotl[:, None]
+    shadow, _, _ = np_closest(
+        scene, p, np.broadcast_to(ldir, p.shape), 1e-4, 1e5
+    )
+    di = np.where((shadow >= 0)[:, None], 0.0, unshadowed)
+    depth = np.linalg.norm(np.asarray(camera.position, np.float64) - p, axis=-1)
+
+    direct = np.where(miss[:, None], SKY, di)
+    albedo = np.where(miss[:, None], 1.0, kd)
+    nrm = np.where(miss[:, None], 0.0, np_oct_roundtrip(n))
+    nd_depth = np.where(miss, 0.0, depth)
+    sh = (height, width)
+    return (
+        direct.reshape(sh + (3,)),
+        albedo.reshape(sh + (3,)),
+        {"normal": nrm.reshape(sh + (3,)), "depth": nd_depth.reshape(sh)},
+    )
+
+
+def np_spatial_gather(indirect, nd, s_normal, s_depth_sigma, s_luma):
+    """spatial_gather.hlsl: 7x7 edge-aware cross-bilateral filter."""
+    cn, cd, cc = nd["normal"], nd["depth"], indirect
+    cl = np_luminance(cc)
+    s_depth = cd * s_depth_sigma
+    background = cd < 1e-5
+    acc = np.zeros_like(cc)
+    tw = np.zeros_like(cd)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            c, valid = _np_shift(cc, dx, dy)
+            n_tap, _ = _np_shift(cn, dx, dy)
+            d_tap, _ = _np_shift(cd, dx, dy)
+            l_tap, _ = _np_shift(cl, dx, dy)
+            valid = valid & (d_tap >= 1e-5)
+            r = float((dx * dx + dy * dy) ** 0.5)
+            w = (
+                _w_normal(cn, n_tap, s_normal)
+                * _w_depth(cd, d_tap, s_depth * r)
+                * _w_luma(cl, l_tap, s_luma)
+            )
+            w = np.where(valid, w, 0.0)
+            acc = acc + w[..., None] * c
+            tw = tw + w
+    filt = np.where((tw < EPS)[..., None], cc, acc / np.maximum(tw, EPS)[..., None])
+    return np.where(background[..., None], cc, filt)
+
+
+def np_closest_depth_3x3(depth):
+    """3x3 min of nonzero depths; temporal_accumulation.hlsl:179-205."""
+    best = depth.copy()
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            d_tap, valid = _np_shift(depth, dx, dy)
+            take = valid & (d_tap != 0.0) & (d_tap < best)
+            best = np.where(take, d_tap, best)
+    return best
+
+
+def np_svgf_accumulate_static(color, nd, prev, frame_count, alpha_setting):
+    """Accumulate for a STATIC camera: the history fetch is the identity
+    (the framework's zero-gather static path); disocclusion still applies
+    the 5% closest-depth test vs the previous frame's 3x3-min depth.
+
+    prev: dict(color_history [H,W,4], moments_history [H,W,4],
+    prev_depth [H,W], camera). Returns (color4, moments4)."""
+    lum = np_luminance(color)
+    fresh = np.stack([lum, lum * lum], -1)
+    depth = nd["depth"]
+    background = depth < 1e-5
+
+    # cur closest == camera-distance depth reconstructed at the pixel
+    cur_closest = depth
+    prev_closest = np_closest_depth_3x3(prev["prev_depth"])
+    disocc = (frame_count == 0) | (
+        np.abs(prev_closest - cur_closest) / np.maximum(cur_closest, 1e-20) > 0.05
+    )
+
+    history = prev["color_history"][..., :3]
+    moments_hist = prev["moments_history"][..., :2]
+    hist_len = prev["moments_history"][..., 3]
+
+    alpha = np.minimum(alpha_setting, 1.0 - 1.0 / (hist_len + 1.0))
+    alpha = np.where(hist_len < MAX_HISTORY_LENGTH, alpha, alpha_setting)
+
+    moments = fresh * (1.0 - alpha[..., None]) + moments_hist * alpha[..., None]
+    variance = np.abs(moments[..., 1] - moments[..., 0] ** 2)
+    blended = color * (1.0 - alpha[..., None]) + history * alpha[..., None]
+
+    reset = background | disocc
+    z = np.zeros_like(lum)[..., None]
+    one = np.ones_like(lum)[..., None]
+    out_c = np.where(
+        reset[..., None],
+        np.concatenate([color, z], -1),
+        np.concatenate([blended, variance[..., None]], -1),
+    )
+    out_m = np.where(
+        reset[..., None],
+        np.concatenate([fresh, z, one], -1),
+        np.concatenate([moments, z, (hist_len + 1.0)[..., None]], -1),
+    )
+    return out_c, out_m
+
+
+_EAW_KW = (1.0, 2.0 / 3.0, 1.0 / 6.0)  # eaw_blur.hlsl:76
+
+
+def np_eaw_blur(color4, nd, stride, s_normal, s_depth_sigma, s_luma_sigma,
+                use_variance=True):
+    """One eaw_blur.hlsl Blur dispatch (5x5 a-trous)."""
+    rgb = np.minimum(color4[..., :3], FIREFLY_CLAMP)
+    var = color4[..., 3]
+    cn, cd = nd["normal"], nd["depth"]
+    cl = np_luminance(rgb)
+    clamped4 = np.concatenate([rgb, var[..., None]], -1)
+    s_depth = cd * float(stride) * s_depth_sigma
+    s_luma = s_luma_sigma * np.sqrt(np.maximum(0.0, var + EPS))
+    acc_c = np.zeros_like(rgb)
+    acc_v = np.zeros_like(var)
+    tw = np.zeros_like(var)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            sx, sy = dx * stride, dy * stride
+            c4, valid = _np_shift(clamped4, sx, sy)
+            n_tap, _ = _np_shift(cn, sx, sy)
+            d_tap, _ = _np_shift(cd, sx, sy)
+            valid = valid & (d_tap >= 1e-5)
+            r = float((dx * dx + dy * dy) ** 0.5)
+            w = _w_normal(cn, n_tap, s_normal) * _w_depth(cd, d_tap, s_depth * r)
+            if use_variance:
+                l_tap, _ = _np_shift(cl, sx, sy)
+                lw = _w_luma(cl, l_tap, s_luma)
+                hw = _EAW_KW[abs(dx)] * _EAW_KW[abs(dy)]
+            else:
+                lw = 1.0
+                hw = 1.0
+            w_full = np.where(valid, w * hw * lw, 0.0)
+            acc_c = acc_c + w_full[..., None] * c4[..., :3]
+            tw = tw + w_full
+            if use_variance:
+                w_sq = np.where(valid, (hw * w) ** 2 * lw * lw, 0.0)
+                acc_v = acc_v + w_sq * c4[..., 3]
+    out_c = np.where((tw < EPS)[..., None], rgb, acc_c / np.maximum(tw, EPS)[..., None])
+    out_v = np.where(tw < EPS, var, acc_v / np.maximum(tw, EPS) ** 2)
+    background = cd < 1e-5
+    out_c = np.where(background[..., None], rgb, out_c)
+    out_v = np.where(background, var, out_v)
+    return np.concatenate([out_c, out_v[..., None]], -1)
+
+
+def np_eaw_disocclusion(color4, nd, moments4, s_normal, s_depth_sigma, s_luma):
+    """eaw_blur.hlsl:139-223 BlurDisocclusion (7x7 + spatial variance)."""
+    rgb = np.minimum(color4[..., :3], FIREFLY_CLAMP)
+    var = color4[..., 3]
+    hist_len = moments4[..., 3]
+    cn, cd = nd["normal"], nd["depth"]
+    cl = np_luminance(rgb)
+    packed = np.concatenate([rgb, cl[..., None], moments4[..., :2]], -1)
+    s_depth = cd * s_depth_sigma
+    acc_c = np.zeros_like(rgb)
+    acc_m = np.zeros_like(moments4[..., :2])
+    tw = np.zeros_like(var)
+    for dy in range(-3, 4):
+        for dx in range(-3, 4):
+            p_tap, valid = _np_shift(packed, dx, dy)
+            n_tap, _ = _np_shift(cn, dx, dy)
+            d_tap, _ = _np_shift(cd, dx, dy)
+            valid = valid & (d_tap >= 1e-5)
+            r = float((dx * dx + dy * dy) ** 0.5)
+            w = (
+                _w_normal(cn, n_tap, s_normal)
+                * _w_depth(cd, d_tap, s_depth * r)
+                * _w_luma(cl, p_tap[..., 3], s_luma)
+            )
+            w = np.where(valid, w, 0.0)
+            acc_c = acc_c + w[..., None] * p_tap[..., :3]
+            acc_m = acc_m + w[..., None] * p_tap[..., 4:6]
+            tw = tw + w
+    f_c = np.where((tw < EPS)[..., None], rgb, acc_c / np.maximum(tw, EPS)[..., None])
+    f_m = np.where((tw < EPS)[..., None], 0.0, acc_m / np.maximum(tw, EPS)[..., None])
+    boost = SPATIAL_VARIANCE_THRESHOLD / np.maximum(hist_len, 1e-5)
+    f_v = boost * np.abs(f_m[..., 1] - f_m[..., 0] ** 2)
+    passthrough = (cd < 1e-5) | (hist_len >= SPATIAL_VARIANCE_THRESHOLD)
+    out_c = np.where(passthrough[..., None], rgb, f_c)
+    out_v = np.where(passthrough, var, f_v)
+    return np.concatenate([out_c, out_v[..., None]], -1)
+
+
+def np_denoise(color4, nd, moments4, s_normal, s_depth, s_luma,
+               eaw5=False, use_variance=True):
+    """The EAW chain: disocclusion blur then strides 1, 3 (, 5, 7)."""
+    x = np_eaw_disocclusion(color4, nd, moments4, s_normal, s_depth, s_luma)
+    for s in (1, 3, 5, 7) if eaw5 else (1, 3):
+        x = np_eaw_blur(x, nd, s, s_normal, s_depth, s_luma, use_variance)
+    return x
