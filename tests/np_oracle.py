@@ -501,3 +501,199 @@ def np_denoise(color4, nd, moments4, s_normal, s_depth, s_luma,
     for s in (1, 3, 5, 7) if eaw5 else (1, 3):
         x = np_eaw_blur(x, nd, s, s_normal, s_depth, s_luma, use_variance)
     return x
+
+
+# ---------------------------------------------------------------------------
+# Moving-camera reprojection + TAA oracle (temporal_accumulation.hlsl TAA +
+# the ResampleBicubic history fetch, which — see the reference quirk note in
+# ops/resample.py — evaluates Catmull-Rom at integer tap offsets and thus
+# reduces exactly to the luma-weighted center bilinear tap).
+
+
+def np_reconstruct_position(camera, uv, depth):
+    """camera.h:65-80."""
+    h_sample = uv - 0.5
+    cs = h_sample * np.asarray(camera.sensor_size, np.float64)
+    d = (
+        float(camera.focal_length) * np.asarray(camera.forward, np.float64)
+        + cs[..., 0:1] * np.asarray(camera.right, np.float64)
+        + cs[..., 1:2] * np.asarray(camera.up, np.float64)
+    )
+    d = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    return np.asarray(camera.position, np.float64) + depth[..., None] * d
+
+
+def np_reproject(camera, prev_camera, depth, width, height):
+    """The shared per-frame reprojection (temporal_accumulation.hlsl:243-258):
+    this_uv, prev_uv/prev_xy, velocity, offscreen. Background lanes (depth 0)
+    produce garbage that every consumer masks; they are zeroed here."""
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
+    this_uv = np.stack([(xs + 0.5) / width, (ys + 0.5) / height], -1)
+    fg = depth > 1e-5
+    hit = np_reconstruct_position(camera, this_uv, depth)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        prev_uv = np_image_plane_uv(
+            prev_camera, hit.reshape(-1, 3)
+        ).reshape(height, width, 2)
+    prev_uv = np.where(fg[..., None], prev_uv, 0.5)
+    prev_xy = np.minimum(
+        prev_uv * np.array([width, height], np.float64),
+        np.array([width - 1, height - 1], np.float64),
+    )
+    velocity = np.sqrt(
+        np.sum(((prev_uv - this_uv) * np.array([width, height])) ** 2, -1)
+    )
+    offscreen = np.any((prev_uv < 0.0) | (prev_uv > 1.0), -1)
+    # disocclusion compares against distance from the PREVIOUS camera
+    cur_closest = np.linalg.norm(
+        hit - np.asarray(prev_camera.position, np.float64), axis=-1
+    )
+    return {
+        "prev_uv": prev_uv, "prev_xy": prev_xy,
+        "velocity": velocity, "offscreen": offscreen, "fg": fg,
+        "cur_closest": cur_closest,
+    }
+
+
+def np_fetch_history_moving(field, prev_xy, width, height):
+    """The moving-path history resample: luma-weighted 3x3 'bicubic' whose
+    outer taps carry cubic(1)=0 — i.e. the clamp-bilinear value at
+    prev_xy - 0.5, zeroed where the (clamped) center tap is off-image."""
+    xy0 = prev_xy - 0.5
+    bx = np.floor(xy0[..., 0]).astype(np.int64)
+    by = np.floor(xy0[..., 1]).astype(np.int64)
+    fx = (xy0[..., 0] - np.floor(xy0[..., 0]))[..., None]
+    fy = (xy0[..., 1] - np.floor(xy0[..., 1]))[..., None]
+    x0 = np.clip(bx, 0, width - 1)
+    x1 = np.clip(bx + 1, 0, width - 1)
+    y0 = np.clip(by, 0, height - 1)
+    y1 = np.clip(by + 1, 0, height - 1)
+    v00 = field[y0, x0]
+    v10 = field[y0, x1]
+    v01 = field[y1, x0]
+    v11 = field[y1, x1]
+    val = (v00 * (1 - fx) + v10 * fx) * (1 - fy) + (
+        v01 * (1 - fx) + v11 * fx
+    ) * fy
+    center = prev_xy  # already min-clamped to dim-1; only < 0 can be off
+    off = (center[..., 0] < 0.0) | (center[..., 1] < 0.0)
+    return np.where(off[..., None], 0.0, val)
+
+
+def np_point_fetch_moving(field2, prev_xy, width, height):
+    """Point fetch at floor(prev_xy) via the 2x2 corner select
+    (zero when the clipped point is not one of the bilinear corners)."""
+    bx = np.floor(prev_xy[..., 0] - 0.5).astype(np.int64)
+    by = np.floor(prev_xy[..., 1] - 0.5).astype(np.int64)
+    px = np.clip(np.floor(prev_xy[..., 0]).astype(np.int64), 0, width - 1)
+    py = np.clip(np.floor(prev_xy[..., 1]).astype(np.int64), 0, height - 1)
+    di = px - bx
+    dj = py - by
+    ok = ((di == 0) | (di == 1)) & ((dj == 0) | (dj == 1))
+    return np.where(ok[..., None], field2[py, px], 0.0)
+
+
+def np_svgf_accumulate_moving(color, nd, rep_fetch, frame_count, alpha_setting):
+    """Accumulate with a moving camera: history/moments/len/prev_closest come
+    from the reprojected fetch; disocclusion adds the offscreen flag."""
+    lum = np_luminance(color)
+    fresh = np.stack([lum, lum * lum], -1)
+    depth = nd["depth"]
+    background = depth < 1e-5
+
+    cur_closest = rep_fetch["cur_closest"]
+    disocc = rep_fetch["offscreen"] | (frame_count == 0) | (
+        np.abs(rep_fetch["prev_closest"] - cur_closest)
+        / np.maximum(cur_closest, 1e-20) > 0.05
+    )
+    history = rep_fetch["history"]
+    moments_hist = rep_fetch["moments"]
+    hist_len = rep_fetch["hist_len"]
+
+    alpha = np.minimum(alpha_setting, 1.0 - 1.0 / (hist_len + 1.0))
+    alpha = np.where(hist_len < MAX_HISTORY_LENGTH, alpha, alpha_setting)
+    moments = fresh * (1.0 - alpha[..., None]) + moments_hist * alpha[..., None]
+    variance = np.abs(moments[..., 1] - moments[..., 0] ** 2)
+    blended = color * (1.0 - alpha[..., None]) + history * alpha[..., None]
+
+    reset = background | disocc
+    z = np.zeros_like(lum)[..., None]
+    one = np.ones_like(lum)[..., None]
+    out_c = np.where(
+        reset[..., None],
+        np.concatenate([color, z], -1),
+        np.concatenate([blended, variance[..., None]], -1),
+    )
+    out_m = np.where(
+        reset[..., None],
+        np.concatenate([fresh, z, one], -1),
+        np.concatenate([moments, z, (hist_len + 1.0)[..., None]], -1),
+    )
+    return out_c, out_m, reset
+
+
+def np_simple_tonemap(v):
+    return v / (1.0 + np_luminance(v))[..., None]
+
+
+def np_invert_simple_tonemap(v):
+    return v / (1.0 - np_luminance(v))[..., None]
+
+
+def np_rgb_to_ycocg(c):
+    r, g, b = c[..., 0], c[..., 1], c[..., 2]
+    return np.stack(
+        [r / 4 + g / 2 + b / 4, r / 2 - b / 2, -r / 4 + g / 2 - b / 4], -1
+    )
+
+
+def np_ycocg_to_rgb(c):
+    y, co, cg = c[..., 0], c[..., 1], c[..., 2]
+    return np.clip(np.stack([y + co - cg, y + cg, y - co - cg], -1), 0.0, 1.0)
+
+
+def _np_shift_clamped(img, dx, dy):
+    h, w = img.shape[:2]
+    ys = np.clip(np.arange(h) + dy, 0, h - 1)
+    xs = np.clip(np.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+def np_taa(combined, taa_history, rep, depth, taa_feedback):
+    """temporal_accumulation.hlsl TAA: velocity-adaptive alpha, 5x5 YCoCg
+    mean+-scale*sigma AABB clip of tonemapped history, blend, un-tonemap."""
+    background = depth < 1e-5
+    velocity = rep["velocity"]
+    offscreen = rep["offscreen"]
+    is_static = velocity < 1e-3
+    alpha = np.minimum(taa_feedback, np.where(is_static, 0.98, 0.6))
+    scale = np.where(is_static, 5.0, 0.75)
+
+    tc = np_rgb_to_ycocg(np_simple_tonemap(combined))
+    m1 = np.zeros_like(tc)
+    m2 = np.zeros_like(tc)
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            v = _np_shift_clamped(tc, dx, dy)
+            m1 = m1 + v
+            m2 = m2 + v * v
+    m1 /= 25.0
+    m2 /= 25.0
+    dev = np.sqrt(np.abs(m2 - m1 * m1)) * scale[..., None]
+    pmin = np.minimum(m1 - dev, tc)
+    pmax = np.maximum(m1 + dev, tc)
+
+    hist = np_rgb_to_ycocg(np_simple_tonemap(taa_history))
+    c = 0.5 * (pmin + pmax)
+    radius = 0.5 * (pmax - pmin)
+    dc = hist - c
+    with np.errstate(invalid="ignore", divide="ignore"):
+        clip = dc / (radius + 1e-5)
+        max_extent = np.max(np.abs(clip), -1)
+        clipped = c + dc / max_extent[..., None]
+    hist = np.where((max_extent > 1.0)[..., None], clipped, hist)
+
+    blended = np_invert_simple_tonemap(
+        np_ycocg_to_rgb(tc * (1.0 - alpha[..., None]) + hist * alpha[..., None])
+    )
+    return np.where((background | offscreen)[..., None], combined, blended)
