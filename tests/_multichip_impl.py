@@ -7,6 +7,9 @@ CPU mesh (see test_multichip.py). Asserts:
 2. The production Pallas packet-traversal kernel composes with shard_map
    (interpret mode on CPU): the sharded trace selects the SAME kernel as
    single-chip and returns identical results.
+3. The 5-stage eaw5 denoise chain — excluded from the sharded frame for
+   SPMD compile budget — partitions correctly standalone: row-sharded
+   equality vs the single-device chain.
 """
 
 import os
@@ -92,6 +95,52 @@ def main(n_dev: int) -> None:
             bvh, oo, dd, a, b))
     np.testing.assert_array_equal(
         np.asarray(sharded_any(o, d, 1e-4, 1e6)), np.asarray(want_any))
+
+    # eaw5 chain (disocclusion + strides 1,3,5,7) under SPMD: the one pass
+    # family excluded from the sharded frame above (its ~100 stencil taps
+    # each partition into a halo exchange — too slow to compile inside the
+    # full frame, cheap enough standalone). Equality vs single-device.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from capsaicin_tpu.ops import mathops as mo
+    from capsaicin_tpu.render import passes
+    from capsaicin_tpu.render.settings import default_settings
+
+    opt5 = RenderOptions(eaw5=True)
+    settings = default_settings()
+    h5, w5 = 8 * n_dev, 64
+    rngf = np.random.default_rng(11)
+    color4 = jnp.asarray(rngf.uniform(0, 1, (h5, w5, 4)).astype(np.float32))
+    m4 = jnp.asarray(np.concatenate(
+        [
+            rngf.uniform(0, 1, (h5, w5, 2)).astype(np.float32),
+            np.zeros((h5, w5, 1), np.float32),
+            rngf.uniform(1, 20, (h5, w5, 1)).astype(np.float32),
+        ],
+        -1,
+    ))
+    nrm = rngf.normal(size=(h5, w5, 3)).astype(np.float32)
+    nrm /= np.linalg.norm(nrm, axis=-1, keepdims=True)
+    nd5 = {
+        "oct": mo.oct_encode(jnp.asarray(nrm)),
+        "depth": jnp.asarray(rngf.uniform(1, 5, (h5, w5)).astype(np.float32)),
+        "inst": jnp.zeros((h5, w5), jnp.int32),
+    }
+    want5 = np.asarray(
+        passes.denoise(color4, nd5, m4, settings, opt5))
+    row = NamedSharding(mesh, P(sh.ROWS))
+    c_sh, nd_sh, m_sh = jax.device_put(
+        (color4, nd5, m4),
+        (row, {"oct": row, "depth": row, "inst": row}, row),
+    )
+    got5 = jax.jit(
+        lambda c, n, mm: passes.denoise(c, n, mm, settings, opt5),
+        out_shardings=row,
+    )(c_sh, nd_sh, m_sh)
+    assert got5.sharding.num_devices == n_dev, got5.sharding
+    # five chained stencils accumulate SPMD float-reassociation drift;
+    # same tolerance as the full-frame comparison above
+    np.testing.assert_allclose(np.asarray(got5), want5, atol=1e-3)
 
     print(f"multichip impl OK ({n_dev} devices)")
 
