@@ -697,3 +697,85 @@ def np_taa(combined, taa_history, rep, depth, taa_feedback):
         np_ycocg_to_rgb(tc * (1.0 - alpha[..., None]) + hist * alpha[..., None])
     )
     return np.where((background | offscreen)[..., None], combined, blended)
+
+
+# ---------------------------------------------------------------------------
+# UPSCALE2X (lowres-interleave) post-stack pieces: the SVGF current-color
+# fetch is bilinear at the identity UV of the doubled grid
+# (temporal_accumulation.hlsl:228-232), and the accumulate pass folds the
+# 2x2 interleave phase into its alpha (alpha=1 off-phase).
+
+
+def _np_lerp_axis(img, pos, axis):
+    """1-D clamp-bilinear resample of `img` at texel coords `pos` along
+    `axis` (separable helper)."""
+    n = img.shape[axis]
+    x0 = pos - 0.5
+    b = np.floor(x0).astype(np.int64)
+    f = np.where(b < 0, 0.0, x0 - np.floor(x0))
+    b0 = np.clip(b, 0, n - 1)
+    b1 = np.clip(b + 1, 0, n - 1)
+    a0 = np.take(img, b0, axis=axis)
+    a1 = np.take(img, b1, axis=axis)
+    shape = [1] * img.ndim
+    shape[axis] = len(pos)
+    f = f.reshape(shape)
+    return a0 * (1.0 - f) + a1 * f
+
+
+def np_upsample2x(img):
+    """[h,w,C] -> [2h,2w,C]: clamp-bilinear at the identity UV of the
+    doubled grid, i.e. source coords min((X+0.5)/2, dim-1)."""
+    h, w = img.shape[:2]
+    sy = np.minimum((np.arange(2 * h) + 0.5) / 2.0, h - 1)
+    sx = np.minimum((np.arange(2 * w) + 0.5) / 2.0, w - 1)
+    return _np_lerp_axis(_np_lerp_axis(img, sy, 0), sx, 1)
+
+
+def np_svgf_accumulate_static_lowres(color_half, nd, prev, frame_count,
+                                     alpha_setting, ox, oy):
+    """Static-camera Accumulate under UPSCALE2X: half-res input upsampled
+    2x, off-phase pixels forced alpha=1 with their history length held
+    (decremented then re-incremented)."""
+    height, width = nd["depth"].shape
+    color = np_upsample2x(color_half)
+    lum = np_luminance(color)
+    fresh = np.stack([lum, lum * lum], -1)
+    depth = nd["depth"]
+    background = depth < 1e-5
+
+    cur_closest = depth
+    prev_closest = np_closest_depth_3x3(prev["prev_depth"])
+    disocc = (frame_count == 0) | (
+        np.abs(prev_closest - cur_closest) / np.maximum(cur_closest, 1e-20) > 0.05
+    )
+    history = prev["color_history"][..., :3]
+    moments_hist = prev["moments_history"][..., :2]
+    hist_len = prev["moments_history"][..., 3]
+
+    alpha = np.minimum(alpha_setting, 1.0 - 1.0 / (hist_len + 1.0))
+    alpha = np.where(hist_len < MAX_HISTORY_LENGTH, alpha, alpha_setting)
+
+    xs, ys = np.meshgrid(np.arange(width), np.arange(height), indexing="xy")
+    not_phase = (xs % 2 != ox) | (ys % 2 != oy)
+    alpha = np.where(not_phase, 1.0, alpha)
+    hist_len = np.where(not_phase, hist_len - 1.0, hist_len)
+
+    moments = fresh * (1.0 - alpha[..., None]) + moments_hist * alpha[..., None]
+    variance = np.abs(moments[..., 1] - moments[..., 0] ** 2)
+    blended = color * (1.0 - alpha[..., None]) + history * alpha[..., None]
+
+    reset = background | disocc
+    z = np.zeros_like(lum)[..., None]
+    one = np.ones_like(lum)[..., None]
+    out_c = np.where(
+        reset[..., None],
+        np.concatenate([color, z], -1),
+        np.concatenate([blended, variance[..., None]], -1),
+    )
+    out_m = np.where(
+        reset[..., None],
+        np.concatenate([fresh, z, one], -1),
+        np.concatenate([moments, z, (hist_len + 1.0)[..., None]], -1),
+    )
+    return out_c, out_m

@@ -230,3 +230,86 @@ def test_full_pipeline_moving_taa_matches_numpy_oracle():
     fg = rep["fg"]
     assert int((fg & ~reset).sum()) > 100, "no lane reused moving history"
     assert int((fg & reset).sum()) > 100, "no lane disoccluded"
+
+
+def test_full_pipeline_lowres_progressive_matches_numpy_oracle():
+    """The progressive configuration (LOWRES_INDIRECT / UPSCALE2X): four
+    static-camera frames covering all 2x2 interleave phases through the
+    half-res GI trace, the subsampled-nd spatial gather, the zero-gather 2x
+    bilinear upsample, phase-masked SVGF accumulation, EAW, and combine —
+    final display RMSE <= 1e-3 every frame (temporal_accumulation.hlsl:
+    213-241 phase alpha, spatial_gather.hlsl:36-46 subsampled nd)."""
+    scene = build_scene(cornell_box())
+    camera = make_camera("cornell", W, H)
+    closest, any_hit = make_brute_force(scene)
+    options = RenderOptions(
+        num_diffuse_bounces=1, gbuffer_feedback=False, taa=False,
+        eaw5=False, lowres_indirect=True,
+    )
+    settings = default_settings()
+    noise = np.asarray(textures.blue_noise_256())
+    noise_dev = jnp.asarray(noise)
+    state = pipeline.init_state(W, H, camera, options)
+
+    displays = []
+    for _ in range(4):
+        display, state = pipeline.render_frame(
+            scene, closest, any_hit, camera, state, settings, noise_dev,
+            W, H, options,
+        )
+        displays.append(np.asarray(display))
+
+    w2, h2 = W // 2, H // 2
+    prev = {
+        "color_history": np.zeros((H, W, 4)),
+        "moments_history": np.zeros((H, W, 4)),
+        "prev_depth": np.zeros((H, W)),
+    }
+    from capsaicin_tpu.render.passes import interleave_offset
+
+    for fc in range(4):
+        ox, oy = interleave_offset(fc)
+        direct, albedo, nd = orc.np_direct_lighting(
+            scene, camera, noise, fc, W, H
+        )
+        xs, ys = np.meshgrid(np.arange(w2), np.arange(h2), indexing="xy")
+        xs_f = (xs * 2 + ox).reshape(-1)
+        ys_f = (ys * 2 + oy).reshape(-1)
+        ind = orc.np_indirect_1bounce(
+            scene, camera, noise, fc, xs_f, ys_f, W, H
+        ).reshape(h2, w2, 3)
+        # gather at half res with the phase-subsampled normal/depth
+        nd_sub = {
+            "normal": nd["normal"][oy::2, ox::2],
+            "depth": nd["depth"][oy::2, ox::2],
+        }
+        gathered = orc.np_spatial_gather(
+            ind, nd_sub,
+            float(settings.gather_normal_sigma),
+            float(settings.gather_depth_sigma),
+            float(settings.gather_luma_sigma),
+        )
+        c4, m4 = orc.np_svgf_accumulate_static_lowres(
+            gathered, nd, prev, fc,
+            float(settings.temporal_upscale_feedback), ox, oy,
+        )
+        den = orc.np_denoise(
+            c4, nd, m4,
+            float(settings.eaw_normal_sigma),
+            float(settings.eaw_depth_sigma),
+            float(settings.eaw_luma_sigma),
+            eaw5=False, use_variance=True,
+        )
+        combined = den[..., :3] * albedo + direct
+        want = np.power(np.clip(combined, 0.0, None), 1.0 / 2.2)
+
+        rmse = float(np.sqrt(np.mean((displays[fc] - want) ** 2)))
+        assert rmse <= 1e-3, f"frame {fc} (phase {ox},{oy}): RMSE {rmse}"
+        prev = {
+            "color_history": c4,
+            "moments_history": m4,
+            "prev_depth": nd["depth"],
+        }
+
+    # after 4 phases every on-phase pixel accumulated at least twice
+    assert float(m4[..., 3].max()) >= 2.0
