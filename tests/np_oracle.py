@@ -150,7 +150,8 @@ def np_image_plane_uv(camera, p):
 
 
 def np_indirect_1bounce(scene, camera, noise, frame_count, xs, ys,
-                        width, height, feedback=None, aux=None):
+                        width, height, feedback=None, aux=None,
+                        noise_frame=None):
     """The full rt_indirect estimator at explicit pixel coords, 1 diffuse
     bounce, optionally with the GBUFFER_FEEDBACK history-reuse branch
     (rt_indirect.hlsl:91-174, incl. :118-145 feedback).
@@ -160,8 +161,13 @@ def np_indirect_1bounce(scene, camera, noise, frame_count, xs, ys,
     combined-history (raytracing_system.cpp:466-575) is applied here too.
     aux: optional dict; the feedback branch records its "reuse" and
     "disocc" lane masks there (for test non-vacuousness asserts).
+    noise_frame: blue-noise seed frame; defaults to frame_count. Batched
+    spp draws sample set s from noise_frame = frame*spp + s while the
+    camera jitter and light animation stay at the real frame.
     Returns flat [len(xs), 3] colors.
     """
+    if noise_frame is None:
+        noise_frame = frame_count
     o, d = np_primary_rays(camera, xs, ys, width, height, frame_count)
     prim, u, v = np_closest(scene, o, d, 0.0, 1e6)
     active = prim >= 0
@@ -169,7 +175,7 @@ def np_indirect_1bounce(scene, camera, noise, frame_count, xs, ys,
 
     # bounce 0: sample the hemisphere at the primary hit
     p, n = np_attrs(scene, prim, u, v)
-    s = np_bluenoise4x4(noise, xs, ys, frame_count * 25 + 0)
+    s = np_bluenoise4x4(noise, xs, ys, noise_frame * 25 + 0)
     bd = np_map_to_hemisphere(s, n)
     cos = np.maximum(0.0, np.sum(n * bd, -1))
     pdf = cos / np.pi

@@ -123,3 +123,41 @@ def test_gi_feedback_matches_numpy_oracle():
     # the fields must actually exercise both branches or the test is vacuous
     assert reused > 100, f"history-reuse branch barely taken ({reused} lanes)"
     assert disoccluded > 100, f"disocclusion branch barely taken ({disoccluded})"
+
+
+def test_gi_batched_spp_matches_numpy_oracle():
+    """RenderOptions(spp=N) traces N disjoint blue-noise sample sets
+    (noise_frame = frame*spp + s) in one dispatch and mean-accumulates;
+    the oracle averages N independent runs with the same seeding while
+    camera jitter and light animation stay at the real frame."""
+    scene, camera, closest, any_hit, noise = _setup()
+    spp = 3
+    fc = 2
+    options = RenderOptions(
+        num_diffuse_bounces=1, gbuffer_feedback=False, spp=spp
+    )
+    noise_dev = jnp.asarray(noise)
+
+    from capsaicin_tpu.render import pipeline
+    from capsaicin_tpu.render.settings import default_settings
+
+    state = pipeline.init_state(W, H, camera, options)
+    state = state._replace(frame_count=jnp.int32(fc))
+    _, _, aux = pipeline.render_frame(
+        scene, closest, any_hit, camera, state, default_settings(),
+        noise_dev, W, H, options, collect_aux=True,
+    )
+    got = np.asarray(aux.indirect_raw)
+
+    xs, ys = np.meshgrid(np.arange(W), np.arange(H), indexing="xy")
+    want = np.zeros((H, W, 3))
+    for s in range(spp):
+        want += orc.np_indirect_1bounce(
+            scene, camera, noise, fc, xs.reshape(-1), ys.reshape(-1), W, H,
+            noise_frame=fc * spp + s,
+        ).reshape(H, W, 3)
+    want /= spp
+
+    rmse = float(np.sqrt(np.mean((got - want) ** 2)))
+    assert rmse <= 1e-3, f"spp={spp} GI RMSE {rmse}"
+    assert want.mean() > 0.01
