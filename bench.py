@@ -19,11 +19,49 @@ Flags:
 
 import argparse
 import json
+import subprocess
 import sys
 import time
 
 
 NORTH_STAR_MRAYS = 150.0
+
+_PROBE_SRC = (
+    "import jax, jax.numpy as jnp;"
+    "d = jax.devices();"
+    "x = jnp.ones((128, 128));"
+    "print('PROBE_OK', d[0].platform, float((x @ x).sum()))"
+)
+
+
+def wait_for_backend(attempts: int = 3, probe_timeout: float = 150.0,
+                     backoff: float = 90.0) -> bool:
+    """Bounded-retry backend probe, run BEFORE any in-process jax init.
+
+    A dead tunnel relay makes jax.devices() hang forever in-process with no
+    way to recover; probing in a subprocess with a timeout keeps this
+    process healthy. Backoff between attempts is deliberately long: a
+    killed probe client can wedge the single-tenant tunnel for 1-5 min, so
+    rapid retries make recovery LESS likely. Total budget ~7 min — a
+    transient relay hiccup degrades to a late capture instead of rc=1."""
+    for i in range(attempts):
+        if i:
+            print(f"bench: backend probe retry {i + 1}/{attempts} "
+                  f"after {backoff:.0f}s backoff", file=sys.stderr)
+            time.sleep(backoff)
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                timeout=probe_timeout, capture_output=True, text=True,
+            )
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                return True
+            print(f"bench: probe rc={r.returncode}: "
+                  f"{(r.stderr or r.stdout).strip()[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: probe timed out after {probe_timeout:.0f}s "
+                  "(device init hang — relay likely down)", file=sys.stderr)
+    return False
 
 
 def rays_per_frame(width, height, bounces, lowres, spp=1):
@@ -131,6 +169,14 @@ def main():
                     help="render K frames per device dispatch "
                          "(on-device lax.fori_loop frame loop)")
     args = ap.parse_args()
+
+    if not wait_for_backend():
+        print(json.dumps({
+            "error": "device backend unavailable after bounded retries",
+            "metric": "Mrays/s traversal+shade",
+            "unit": "Mrays/s",
+        }))
+        sys.exit(1)
 
     def run_named(name):
         cfg = CONFIGS[name]

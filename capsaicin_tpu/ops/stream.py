@@ -1,0 +1,388 @@
+"""DMA-streaming candidate traversal: the dense-scene TraceRay backend.
+
+The fourth traversal generation, built from the round-3 measurements
+(PERF.md): the Pallas packet kernel is bound by the 1024-ray packet's
+union footprint times the per-node scalar step cost (~450-530 steps x
+~400ns), while the pure-XLA wavefront/cull backends are bound by XLA
+per-index gather cost (~17ns/index). This kernel removes BOTH classes:
+
+  * **No stack walk at all.** Each 128-ray sub-packet tests its
+    conservative interval bounds against EVERY leaf-block AABB in one
+    vectorized pass ([8 sub-packets x B blocks] slab arithmetic on the
+    VPU) — the 250k-tri colonnade has only ~8k blocks of 32 tris, so the
+    "brute-force cull" is ~80 vector ops over [8, 8192], far cheaper than
+    hundreds of serialized scalar node steps. Candidate sets shrink 8x
+    versus the 1024-ray packet union (the footprint is per-128 rays).
+  * **No XLA gathers.** Candidate triangle blocks are streamed HBM->VMEM
+    with explicit double-buffered `pltpu.make_async_copy` DMAs, one block
+    per sub-packet per step, overlapped with Moller-Trumbore on the
+    previous block. The per-sub-packet block index is min-extracted lazily
+    from the candidate mask each step, so no candidate list is ever
+    materialized and there are NO budgets or overflow fallbacks — the
+    stream loop runs exactly until every sub-packet's mask is empty.
+  * **Exact-footprint MT.** Triangle math runs on [8, 128] tiles where
+    each SUBLANE is a different sub-packet testing its OWN block (the DMA
+    interleaves 8 blocks into one [rows, 8, 128] scratch), so every
+    ray-triangle pair tested is one some sub-packet actually needs —
+    ~18x fewer pair tests than the 1024-wide shared-leaf packet kernel.
+  * **Ray shortening between steps.** Before each extraction the mask is
+    re-pruned against the gang's current best-t (closest) / undecided
+    lanes (any-hit, the RAY_FLAG_ACCEPT_FIRST_HIT analog, lighting.h:48),
+    so blocks behind found hits are never fetched.
+  * **Whole-scene, no chunking.** Triangle data stays in HBM (only the
+    [8, B] box table is VMEM-resident), so one structure covers scenes far
+    beyond the packet kernel's 150k-tri VMEM cap.
+
+Callers should sort incoherent (bounce) rays first, as with every packet
+backend (render.traversal.with_ray_sorting).
+
+Semantics match ops.intersect exactly (same epsilons, no backface culling).
+Reference parity: TraceRay closest/any over the scene TLAS
+(raytracing_system.cpp:1068-1073; lighting.h:48-55 any-hit early accept).
+The host median-split builder stands in for the driver's PREFER_FAST_TRACE
+SAH build (blas_system.cpp:44).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lbvh import build_median_bvh
+from .pallas_traverse import pack_rays_tiled
+
+SUB = 8     # sub-packets per gang (sublanes)
+LANE = 128  # rays per sub-packet (lanes)
+GANG = SUB * LANE
+TRIS_PER_ROW = 8   # 8 tris x 10 floats per 128-lane row (shared layout
+                   # contract with pallas_traverse; >8 spills registers)
+BLOCK_TRIS = 32    # tris per candidate block (= BVH leaf): granularity of
+                   # the cull mask, the DMA, and the stream step
+INF = 1e30
+BIGI = 2**30  # empty-candidate sentinel (>> any block id)
+
+
+def _use_interpret():
+    return jax.default_backend() != "tpu"
+
+
+@jax.tree_util.register_pytree_node_class
+class StreamBVH:
+    """Stream-traversal scene structure (pytree).
+
+    boxes: [8, Bp] f32, VMEM-resident at trace time. Row layout per block
+           (lanes = blocks, Bp = B padded to 128): lo.xyz (rows 0-2),
+           hi.xyz (rows 3-5), valid flag (row 6: 1.0 real / 0.0 padding —
+           interval arithmetic over padding's inverted boxes would
+           otherwise hit every packet), row 7 unused.
+    tris:  [B, rows, 128] f32, HBM-resident at trace time; block b row r
+           holds 8 triangles, tri j at lanes j*10..+10 as
+           (v0 xyz, e1 xyz, e2 xyz, tid+1); id 0 marks padding.
+    """
+
+    def __init__(self, boxes, tris, n_blocks: int, block_tris: int = BLOCK_TRIS):
+        self.boxes = boxes
+        self.tris = tris
+        self.n_blocks = n_blocks
+        self.block_tris = block_tris
+
+    @property
+    def rows(self) -> int:
+        return self.block_tris // TRIS_PER_ROW
+
+    def tree_flatten(self):
+        return (self.boxes, self.tris), (self.n_blocks, self.block_tris)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0], aux[1])
+
+
+def build_stream_bvh(tris, block_tris: int = BLOCK_TRIS) -> StreamBVH:
+    """tris [T,3,3] -> StreamBVH. Host median-split build (NumPy: eager jnp
+    ops cost a device round trip each on tunneled TPUs); only the two final
+    transfers touch the device."""
+    import numpy as np
+
+    tris = np.asarray(tris)
+    bvh = build_median_bvh(tris, leaf_size=block_tris, to_device=False)
+    b = bvh.n_leaves
+
+    nodes_min = np.asarray(bvh.nodes_min)
+    nodes_max = np.asarray(bvh.nodes_max)
+    leaf_lo = nodes_min[b:]  # implicit heap: leaves at [n_leaves, 2n)
+    leaf_hi = nodes_max[b:]
+    valid = (leaf_lo[:, 0] <= leaf_hi[:, 0]).astype(np.float32)
+
+    bp = max(-(-b // LANE) * LANE, LANE)
+    boxes = np.zeros((8, bp), np.float32)
+    boxes[0:3, :b] = leaf_lo.T
+    boxes[3:6, :b] = leaf_hi.T
+    boxes[6, :b] = valid
+
+    rows = block_tris // TRIS_PER_ROW
+    rec = np.concatenate(
+        [np.asarray(bvh.tri_v0), np.asarray(bvh.tri_e1),
+         np.asarray(bvh.tri_e2),
+         (np.asarray(bvh.tri_id) + 1).astype(np.float32)[:, None]], axis=1,
+    ).astype(np.float32)  # [B*block_tris, 10]
+    tri_rows = np.zeros((b, rows, 128), np.float32)
+    tri_rows[:, :, : TRIS_PER_ROW * 10] = rec.reshape(b, rows, TRIS_PER_ROW * 10)
+    return StreamBVH(jnp.asarray(boxes), jnp.asarray(tri_rows), b, block_tris)
+
+
+def _safe_inv(d):
+    tiny = jnp.abs(d) < 1e-12
+    return jnp.where(tiny, jnp.where(d < 0, -1e12, 1e12),
+                     1.0 / jnp.where(tiny, 1.0, d))
+
+
+def _stream_kernel(
+    n_blocks, rows, any_hit,
+    rays_ref, boxes_ref, tris_hbm,
+    t_out, u_out, v_out, p_out,
+    cand_ref, tnear_ref, tblock_ref, sem_ref,
+):
+    ox = rays_ref[0, 0]
+    oy = rays_ref[0, 1]
+    oz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    tmin = rays_ref[0, 6]
+    tmax = rays_ref[0, 7]
+    live = tmax >= tmin  # [8, 128]
+    big = jnp.float32(INF)
+
+    t_out[0, 0] = tmax
+    u_out[0, 0] = jnp.zeros((SUB, LANE), jnp.float32)
+    v_out[0, 0] = jnp.zeros((SUB, LANE), jnp.float32)
+    if any_hit:
+        # dead lanes latch a fake hit so sub-packets retire when every
+        # live lane has decided (pallas_traverse convention)
+        p_out[0, 0] = jnp.where(live, -1, 0).astype(jnp.int32)
+    else:
+        p_out[0, 0] = jnp.full((SUB, LANE), -1, jnp.int32)
+
+    # ---- cull: every sub-packet vs every block box, one vector pass ----
+    def lo_of(x):
+        return jnp.min(jnp.where(live, x, big), axis=1, keepdims=True)
+
+    def hi_of(x):
+        return jnp.max(jnp.where(live, x, -big), axis=1, keepdims=True)
+
+    o_lo = (lo_of(ox), lo_of(oy), lo_of(oz))  # [8,1] each
+    o_hi = (hi_of(ox), hi_of(oy), hi_of(oz))
+    inv = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
+    i_lo = tuple(lo_of(c) for c in inv)
+    i_hi = tuple(hi_of(c) for c in inv)
+    tmin_lo = lo_of(tmin)
+    tcap0 = hi_of(tmax)
+    any_live = jnp.any(live, axis=1, keepdims=True)
+
+    tn = None
+    tf = None
+    for ax in range(3):
+        blo = boxes_ref[ax : ax + 1, :]       # [1, Bp]
+        bhi = boxes_ref[ax + 3 : ax + 4, :]
+        a0l = blo - o_hi[ax]                  # [8, Bp] interval endpoints
+        a0h = blo - o_lo[ax]
+        a1l = bhi - o_hi[ax]
+        a1h = bhi - o_lo[ax]
+
+        def prods(al, ah, il=i_lo[ax], ih=i_hi[ax]):
+            p1 = al * il
+            p2 = al * ih
+            p3 = ah * il
+            p4 = ah * ih
+            return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                    jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+        l0, h0 = prods(a0l, a0h)
+        l1, h1 = prods(a1l, a1h)
+        alo = jnp.minimum(l0, l1)
+        ahi = jnp.maximum(h0, h1)
+        tn = alo if tn is None else jnp.maximum(tn, alo)
+        tf = ahi if tf is None else jnp.minimum(tf, ahi)
+
+    hit = (
+        (tn <= tf) & (tf >= tmin_lo) & (tn <= tcap0)
+        & (boxes_ref[6:7, :] > 0) & any_live
+    )
+    iota = jax.lax.broadcasted_iota(jnp.int32, hit.shape, 1)
+    cand_ref[:] = jnp.where(hit, iota, BIGI)
+    tnear_ref[:] = tn
+
+    # ---- stream loop: extract next block per sub-packet, DMA, MT ----
+    def t_cap_now():
+        """Per-sub-packet pruning cap: no block whose conservative entry
+        distance exceeds every undecided ray's reach can contribute."""
+        if any_hit:
+            undecided = live & (p_out[0, 0] < 0)
+            return jnp.max(jnp.where(undecided, tmax, -big), axis=1,
+                           keepdims=True)
+        t_best = t_out[0, 0]
+        return jnp.max(jnp.where(live, jnp.minimum(t_best, tmax), -big),
+                       axis=1, keepdims=True)
+
+    def extract():
+        cand = jnp.where(tnear_ref[:] > t_cap_now(), BIGI, cand_ref[:])
+        m = jnp.min(cand, axis=1, keepdims=True)  # [8,1]
+        cand_ref[:] = jnp.where(cand == m, BIGI, cand)
+        return m
+
+    def start_dmas(slot, m):
+        for s in range(SUB):
+            blk = jnp.clip(m[s, 0], 0, n_blocks - 1)
+            pltpu.make_async_copy(
+                tris_hbm.at[blk],
+                tblock_ref.at[slot, :, s, :],
+                sem_ref.at[slot, s],
+            ).start()
+
+    def wait_dmas(slot):
+        for s in range(SUB):
+            pltpu.make_async_copy(
+                tris_hbm.at[0],
+                tblock_ref.at[slot, :, s, :],
+                sem_ref.at[slot, s],
+            ).wait()
+
+    def mt_block(slot, valid_vec):
+        """Test each sub-packet's DMA'd block against its own 128 rays:
+        [8,128] tiles where sublane s carries sub-packet s's triangle
+        (fields broadcast from [8,1] lane slices of the interleaved
+        scratch). Same epsilons as ops.intersect (the oracle)."""
+        t_best = t_out[0, 0]
+        u = u_out[0, 0]
+        v = v_out[0, 0]
+        prim = p_out[0, 0]
+        for r in range(rows):
+            row = tblock_ref[slot, r]  # [8, 128]
+            for j in range(TRIS_PER_ROW):
+                base = j * 10
+
+                def fld(q, row=row, base=base):
+                    return row[:, base + q : base + q + 1]  # [8,1]
+
+                v0x, v0y, v0z = fld(0), fld(1), fld(2)
+                e1x, e1y, e1z = fld(3), fld(4), fld(5)
+                e2x, e2y, e2z = fld(6), fld(7), fld(8)
+                tidf = fld(9)
+
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(
+                    jnp.abs(det) > 1e-12,
+                    1.0 / jnp.where(det == 0, 1.0, det), 0.0,
+                )
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = (
+                    (jnp.abs(det) > 1e-12)
+                    & (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                    & (tt > tmin) & (tt < jnp.minimum(tmax, t_best))
+                    & (tidf > 0) & valid_vec
+                )
+                if any_hit:
+                    ok = ok & (prim < 0)
+                t_best = jnp.where(ok, tt, t_best)
+                u = jnp.where(ok, uu, u)
+                v = jnp.where(ok, vv, v)
+                prim = jnp.where(ok, tidf.astype(jnp.int32) - 1, prim)
+        t_out[0, 0] = t_best
+        u_out[0, 0] = u
+        v_out[0, 0] = v
+        p_out[0, 0] = prim
+
+    # double-buffered pipeline: extraction + DMA of step k+1 overlap MT of
+    # step k; exactly one started DMA set is outstanding at loop exit
+    m0 = extract()
+    start_dmas(0, m0)
+
+    def cond(carry):
+        m, _ = carry
+        return jnp.min(m) < BIGI
+
+    def body(carry):
+        m, parity = carry
+        m2 = extract()
+        start_dmas(1 - parity, m2)
+        wait_dmas(parity)
+        mt_block(parity, m < BIGI)
+        return m2, 1 - parity
+
+    m_fin, p_fin = jax.lax.while_loop(cond, body, (m0, jnp.int32(0)))
+    wait_dmas(p_fin)  # drain the final (unconsumed) DMA set
+
+
+def _run(sbvh: StreamBVH, rays_tiled, any_hit: bool):
+    np_ = rays_tiled.shape[0]
+    bp = sbvh.boxes.shape[1]
+    kernel = functools.partial(
+        _stream_kernel, sbvh.n_blocks, sbvh.rows, any_hit,
+    )
+    f32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.float32)
+    i32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.int32)
+    out_spec = pl.BlockSpec(
+        (1, 1, SUB, LANE), lambda p: (p, 0, 0, 0), memory_space=pltpu.VMEM)
+    t, u, v, prim = pl.pallas_call(
+        kernel,
+        grid=(np_,),
+        in_specs=[
+            pl.BlockSpec((1, 8, SUB, LANE), lambda p: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sbvh.boxes.shape, lambda p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # tris stay in HBM
+        ],
+        out_specs=(out_spec, out_spec, out_spec, out_spec),
+        out_shape=(f32, f32, f32, i32),
+        scratch_shapes=[
+            pltpu.VMEM((SUB, bp), jnp.int32),            # candidate mask
+            pltpu.VMEM((SUB, bp), jnp.float32),          # block entry dists
+            pltpu.VMEM((2, sbvh.rows, SUB, LANE), jnp.float32),  # tri blocks
+            pltpu.SemaphoreType.DMA((2, SUB)),
+        ],
+        interpret=_use_interpret(),
+    )(rays_tiled, sbvh.boxes, sbvh.tris)
+    return t, u, v, prim
+
+
+def _untile(x, n):
+    return x.reshape(-1)[:n]
+
+
+def stream_closest(sbvh: StreamBVH, origins, dirs, tmin=0.0, tmax=1e6):
+    rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
+    t, u, v, prim = _run(sbvh, rays, any_hit=False)
+    prim = _untile(prim, n)
+    return {
+        "t": jnp.where(prim < 0, jnp.float32(INF), _untile(t, n)),
+        "u": _untile(u, n),
+        "v": _untile(v, n),
+        "prim": prim,
+    }
+
+
+def stream_any(sbvh: StreamBVH, origins, dirs, tmin=1e-4, tmax=1e6):
+    rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
+    t, u, v, prim = _run(sbvh, rays, any_hit=True)
+    # dead lanes latch prim=0 in-kernel for the retirement check; normalize
+    alive = jnp.broadcast_to(
+        jnp.asarray(tmax, jnp.float32), origins.shape[:1]
+    ) >= jnp.broadcast_to(jnp.asarray(tmin, jnp.float32), origins.shape[:1])
+    return (_untile(prim, n) >= 0) & alive

@@ -69,8 +69,11 @@ class WavefrontBVH:
     """Gather-friendly BVH for the wavefront backend (pytree).
 
     pair_rows: [L, 16] f32 — row k holds the records of children (2k, 2k+1):
-               (min xyz, max xyz, split-code, pad) x 2. Row 0 unused.
+               (min xyz, max xyz, split-code, valid) x 2. Row 0 unused.
                split-code (slot 6 of the LEFT record): axis | 4*left_is_low.
+               valid (slot 7): 1.0 for real nodes, 0.0 for power-of-two
+               padding subtrees, whose inverted +/-INF boxes would otherwise
+               pass EVERY interval test (same fix as cull.py's slot-6 flag).
     tri_rows:  [L + 1, 80] f32 — leaf row l = 8 triangles of heap leaf L+l,
                tri j at floats j*10..+10 as (v0, e1, e2, tid+1); 0 id marks
                padding. The LAST row is all-zero: the gather target for
@@ -117,9 +120,12 @@ def build_wavefront_bvh(tris) -> WavefrontBVH:
     code = (axis + 4 * low.astype(np.int32)).astype(np.float32)
     codes = np.zeros((2 * l,), np.float32)
     codes[2::2] = code
+    # validity: padding subtrees carry inverted boxes (min > max); without
+    # this flag every packet "hits" them and floods the stage budgets with
+    # phantom leaf rows on non-power-of-two scenes
+    valid = (nodes_min[:, 0] <= nodes_max[:, 0]).astype(np.float32)
     rec = np.concatenate(
-        [nodes_min, nodes_max, codes[:, None],
-         np.zeros((2 * l, 1), np.float32)], axis=1,
+        [nodes_min, nodes_max, codes[:, None], valid[:, None]], axis=1,
     ).astype(np.float32)  # [2L, 8]
     pair_rows = np.concatenate(
         [np.zeros((1, 16), np.float32), rec[2:].reshape(l - 1, 16)]
@@ -266,8 +272,8 @@ def phase_a(bvh: WavefrontBVH, pk: _Packets, state: _WalkState, t_cap, k_rows: i
         s, emit, lists = carry
         active = active_of(s, emit)
         rec = bvh.pair_rows[s.k]  # [P, 16]
-        hit_l = _interval_hit(pk, rec[:, 0:3], rec[:, 3:6], t_cap)
-        hit_r = _interval_hit(pk, rec[:, 8:11], rec[:, 11:14], t_cap)
+        hit_l = _interval_hit(pk, rec[:, 0:3], rec[:, 3:6], t_cap) & (rec[:, 7] > 0)
+        hit_r = _interval_hit(pk, rec[:, 8:11], rec[:, 11:14], t_cap) & (rec[:, 15] > 0)
         c0 = 2 * s.k
         kids_leaf = c0 >= l
 

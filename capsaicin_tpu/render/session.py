@@ -111,7 +111,9 @@ class RenderSession:
         mode = resolve_mode(self.traversal_mode, scene.tri_v0.shape[0])
         from .traversal import build_accel
 
-        self.bvh = build_accel(self.scene_dev, mode)
+        # build from the HOST scene: the builders np.asarray the geometry,
+        # and device->host pulls are pathologically slow on tunneled TPUs
+        self.bvh = build_accel(scene, mode)
         if self.mesh is not None and self.bvh is not None:
             from ..parallel import sharding as sh
 
@@ -230,7 +232,7 @@ class RenderSession:
             """(closest, any, bounce, bounce_any) single-chip trace fns."""
             closest, any_hit = make_traversal(scene, mode, bvh)
             bounce = bounce_any = None
-            if mode == "bvh" and options.sort_bounce_rays:
+            if mode in ("bvh", "wavefront", "stream") and options.sort_bounce_rays:
                 from .traversal import with_ray_sorting, with_ray_sorting_any
 
                 bounce = with_ray_sorting(closest)
@@ -273,7 +275,7 @@ class RenderSession:
                     # primary/shadow rays arrive in 8x128 pixel blocks;
                     # brute/static kernels are order-insensitive so only
                     # bvh mode pays the transposes
-                    trace_block_order=(mode in ("bvh", "cull")),
+                    trace_block_order=(mode in ("bvh", "cull", "stream")),
                 )
 
         if loop_frames is None:

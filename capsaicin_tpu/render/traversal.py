@@ -52,7 +52,19 @@ def make_brute_force(scene):
 
 
 def make_bvh(scene, bvh):
-    from ..ops import cull, pallas_traverse, traverse, wavefront
+    from ..ops import cull, pallas_traverse, stream, traverse, wavefront
+
+    if isinstance(bvh, stream.StreamBVH):
+        # DMA-streaming candidate traversal (ops/stream.py): the dense-scene
+        # production path — whole-scene HBM triangle residency, per-128-ray
+        # cull, double-buffered leaf-block DMA
+        def closest(origins, dirs, tmin, tmax):
+            return stream.stream_closest(bvh, origins, dirs, tmin, tmax)
+
+        def any_hit(origins, dirs, tmin, tmax):
+            return stream.stream_any(bvh, origins, dirs, tmin, tmax)
+
+        return closest, any_hit
 
     if isinstance(bvh, cull.CullBVH):
         # dense-cull funnel (ops/cull.py): coherent packet tests for
@@ -106,7 +118,7 @@ def build_accel(scene, mode: str):
     import jax
     import numpy as np
 
-    if mode not in ("static", "bvh", "wavefront", "cull"):
+    if mode not in ("static", "bvh", "wavefront", "cull", "stream"):
         return None
     tris_np = np.stack(
         [np.asarray(scene.tri_v0), np.asarray(scene.tri_v1),
@@ -116,6 +128,10 @@ def build_accel(scene, mode: str):
         from ..ops import pallas_static
 
         return pallas_static.build_static(jnp.asarray(tris_np))
+    if mode == "stream":
+        from ..ops import stream
+
+        return stream.build_stream_bvh(tris_np)
     if mode == "wavefront":
         from ..ops import wavefront
 
@@ -161,7 +177,7 @@ def make_traversal(scene, mode: str, bvh=None):
             return pallas_static.static_any(bvh, origins, dirs, tmin, tmax)
 
         return closest, any_hit
-    if mode in ("bvh", "wavefront", "cull"):
+    if mode in ("bvh", "wavefront", "cull", "stream"):
         if bvh is None:
             raise ValueError(f"{mode} traversal requested but no BVH was built")
         return make_bvh(scene, bvh)

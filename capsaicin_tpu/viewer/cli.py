@@ -69,7 +69,8 @@ def main(argv=None):
     ap.add_argument("--bounces", type=int, default=1)
     ap.add_argument("--output", type=int, default=0, help="0=combined 1=direct 2=indirect 3=variance")
     ap.add_argument("--traversal", default="auto",
-                    choices=["auto", "brute", "bvh", "wavefront", "cull"])
+                    choices=["auto", "brute", "bvh", "wavefront", "cull",
+                             "stream"])
     ap.add_argument("--lowres-indirect", action="store_true")
     ap.add_argument("--no-denoise", action="store_true")
     ap.add_argument("--no-taa", action="store_true")
