@@ -110,6 +110,58 @@ def shard_trace(mesh: Mesh, scene, bvh, select):
     return fn
 
 
+def halo_map(mesh: Mesh, fn, reach: int, *arrays):
+    """shard_map a row-stencil function over the mesh with explicit halo
+    exchange — the SPMD placement for the Pallas stencil kernels (EAW chain,
+    spatial gather), which XLA's partitioner cannot split.
+
+    Every array in `arrays` is row-partitioned (axis 0); each shard receives
+    `reach` extra rows from its neighbors via `jax.lax.ppermute` (multi-hop
+    when a shard is shorter than the reach), runs the UNCHANGED single-chip
+    `fn` on the extended arrays, and crops the halo off the result. Edge
+    shards receive ppermute's zero fill, which reproduces the out-of-bounds
+    tap semantics exactly: every stencil here rejects taps with depth
+    < 1e-5, and zero rows have zero depth (same argument as the kernels'
+    own zero row/column padding, ops/pallas_stencil.py).
+
+    One exchange covers a whole multi-stage chain when `reach` is the SUM of
+    per-stage reaches (the classic overlapping-halo rule: kept rows only
+    depend on taps whose intermediate values are exact at every stage).
+    """
+    import jax.numpy as jnp
+
+    n = mesh.shape[ROWS]
+    if n == 1:
+        return fn(*arrays)
+
+    def local(*xs):
+        shard_rows = xs[0].shape[0]
+        hops = -(-reach // shard_rows)
+
+        def exchange(x):
+            above = []
+            below = []
+            for j in range(1, hops + 1):
+                down = [(i, i + j) for i in range(0, n - j)]
+                up = [(i, i - j) for i in range(j, n)]
+                above.insert(0, jax.lax.ppermute(x, ROWS, down))
+                below.append(jax.lax.ppermute(x, ROWS, up))
+            top = jnp.concatenate(above, axis=0)[-reach:]
+            bot = jnp.concatenate(below, axis=0)[:reach]
+            return jnp.concatenate([top, x, bot], axis=0)
+
+        out = fn(*[exchange(x) for x in xs])
+        return jax.tree.map(lambda y: y[reach:-reach], out)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=tuple(P(ROWS) for _ in arrays),
+        out_specs=P(ROWS),
+        check_vma=False,
+    )(*arrays)
+
+
 def build_sharded_step(mesh: Mesh, step_fn, height: int, example_state, example_args):
     """jit `step_fn(scene, bvh, camera, state, settings, noise)` with row
     sharding on the per-pixel state/outputs and replication elsewhere.

@@ -426,32 +426,68 @@ def _subsampled_nd(nd, frame_count, width, height, options: RenderOptions):
     return oct, depth
 
 
-# Trace-time override: RenderSession(mesh=...) renders under SPMD, where
-# the roll+mask jnp stencils are the right implementation — XLA's SPMD
-# partitioner turns each roll into exactly the halo collective-permute a
-# hand-written shard_map exchange would, while a pallas_call is a custom
-# call it cannot split. The Pallas tile kernels stay the single-chip fast
-# path; traversal (the dominant cost) keeps its Pallas kernels under SPMD
-# via parallel.sharding.shard_trace.
+# Trace-time overrides for RenderSession(mesh=...) SPMD rendering. A
+# pallas_call is a custom call XLA's SPMD partitioner cannot split, so the
+# Pallas stencil kernels are placed per-shard explicitly instead: wrapped in
+# shard_map with ppermute halo exchange (parallel.sharding.halo_map), one
+# exchange per chain — versus the jnp roll+mask fallback, whose per-tap
+# partitioning makes the eaw5 chain's ~100 taps each compile into their own
+# halo collective (minutes of SPMD compile). The jnp path remains the
+# fallback when the Pallas kernels aren't in play (pure-CPU runs without
+# CAPSAICIN_PALLAS_STENCIL=1) or when the array height doesn't divide by
+# the mesh.
 _FORCE_JNP_STENCILS = False
+_SPMD_MESH = None
 
 
 def stencil_jnp_scope():
-    """Context manager forcing the jnp stencil path for code traced inside
-    (used by the mesh-mode frame builder; tracing happens in the body)."""
+    """Context manager forcing the jnp stencil path for code traced inside."""
+    return _stencil_scope(True, None)
+
+
+def stencil_spmd_scope(mesh):
+    """Mesh-mode scope: stencils traced inside route the Pallas kernels
+    through shard_map halo exchange (falling back to jnp rolls when the
+    kernels aren't eligible)."""
+    return _stencil_scope(True, mesh)
+
+
+def _stencil_scope(force_jnp: bool, mesh):
     import contextlib
 
     @contextlib.contextmanager
     def scope():
-        global _FORCE_JNP_STENCILS
-        prev = _FORCE_JNP_STENCILS
-        _FORCE_JNP_STENCILS = True
+        global _FORCE_JNP_STENCILS, _SPMD_MESH
+        prev = (_FORCE_JNP_STENCILS, _SPMD_MESH)
+        _FORCE_JNP_STENCILS = force_jnp
+        _SPMD_MESH = mesh
         try:
             yield
         finally:
-            _FORCE_JNP_STENCILS = prev
+            _FORCE_JNP_STENCILS, _SPMD_MESH = prev
 
     return scope()
+
+
+def _pallas_stencil_eligible() -> bool:
+    """Whether the Pallas stencil kernels are usable at all on this backend
+    (ignores the mesh-mode force-jnp flag — used by the halo_map branch)."""
+    import os
+
+    flag = os.environ.get("CAPSAICIN_PALLAS_STENCIL")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _spmd_stencil_mesh(height: int):
+    """The mesh to halo_map a stencil over, or None for the local paths."""
+    mesh = _SPMD_MESH
+    if mesh is None or not _pallas_stencil_eligible():
+        return None
+    if height % mesh.size != 0:
+        return None  # uneven row split: leave it to XLA's jnp partitioning
+    return mesh
 
 
 def _use_pallas_stencil() -> bool:
@@ -459,19 +495,24 @@ def _use_pallas_stencil() -> bool:
     (each jnp tap materializes a full [H,W,C] temporary; the kernels read
     each tile once). CAPSAICIN_PALLAS_STENCIL=1 forces them (interpret mode)
     off-TPU for equivalence tests; =0 forces the jnp path everywhere."""
-    import os
-
     if _FORCE_JNP_STENCILS:
         return False
-    flag = os.environ.get("CAPSAICIN_PALLAS_STENCIL")
-    if flag is not None:
-        return flag == "1"
-    return jax.default_backend() == "tpu"
+    return _pallas_stencil_eligible()
 
 
 def spatial_gather(indirect, nd, width, height, frame_count, settings: Settings, options: RenderOptions):
     """7x7 edge-aware cross-bilateral filter of the raw indirect."""
     oct, depth = _subsampled_nd(nd, frame_count, width, height, options)
+    mesh = _spmd_stencil_mesh(indirect.shape[0])
+    if mesh is not None:
+        from ..ops import pallas_stencil as ps
+        from ..parallel.sharding import halo_map
+
+        return halo_map(
+            mesh,
+            lambda c, n_, d_: ps.spatial_gather(c, n_, d_, settings),
+            3, indirect, m.oct_decode(oct), depth,
+        )
     if _use_pallas_stencil():
         from ..ops import pallas_stencil as ps
 
@@ -925,6 +966,19 @@ def denoise(color4, nd, moments4, settings: Settings, options: RenderOptions):
     eaw5); raytracing_system.cpp:1437-1539."""
     if not options.denoise:
         return color4
+    mesh = _spmd_stencil_mesh(color4.shape[0])
+    if mesh is not None:
+        from ..ops import pallas_stencil as ps
+        from ..parallel.sharding import halo_map
+
+        strides = (1, 3, 5, 7) if options.eaw5 else (1, 3)
+        reach = 3 + sum(2 * s for s in strides)  # disocclusion + a-trous sum
+        return halo_map(
+            mesh,
+            lambda c4, n_, d_, m4: ps.denoise_chain(
+                c4, n_, d_, m4, settings, options),
+            reach, color4, m.oct_decode(nd["oct"]), nd["depth"], moments4,
+        )
     if _use_pallas_stencil():
         from ..ops import pallas_stencil as ps
 

@@ -264,7 +264,7 @@ class RenderSession:
 
             from . import passes
 
-            scope = passes.stencil_jnp_scope() if mesh is not None \
+            scope = passes.stencil_spmd_scope(mesh) if mesh is not None \
                 else nullcontext()
             with scope:
                 return pipeline.render_frame(

@@ -1,15 +1,17 @@
 """Multichip test body, executed in a subprocess with an 8-virtual-device
 CPU mesh (see test_multichip.py). Asserts:
 
-1. The PRODUCT multi-chip path — ``RenderSession(mesh=...)`` (row-sharded
-   state, replicated scene/BVH, shard_map'd traversal, SPMD stencils) —
-   renders frames equal to the plain single-device session.
+1. The PRODUCT multi-chip path — ``RenderSession(mesh=...)`` at the literal
+   DEFAULT options (eaw5=True) — renders frames equal to the plain
+   single-device session: row-sharded state, replicated scene/BVH,
+   shard_map'd traversal, and the Pallas stencil chains (gather + 5-stage
+   EAW) running per-shard via halo_map's ppermute halo exchange.
 2. The production Pallas packet-traversal kernel composes with shard_map
    (interpret mode on CPU): the sharded trace selects the SAME kernel as
    single-chip and returns identical results.
-3. The 5-stage eaw5 denoise chain — excluded from the sharded frame for
-   SPMD compile budget — partitions correctly standalone: row-sharded
-   equality vs the single-device chain.
+3. The 5-stage eaw5 denoise chain partitions correctly standalone on BOTH
+   SPMD implementations: the jnp roll fallback (XLA-partitioned) and the
+   halo_map'd Pallas chain, each row-sharded-equal to single-device.
 """
 
 import os
@@ -37,11 +39,13 @@ def main(n_dev: int) -> None:
 
     assert len(jax.devices()) >= n_dev, jax.devices()
     width, height = 64, 8 * n_dev
-    # slim options: what is under test is the sharding of every pass family
-    # (traversal, row-sharded gathers, gather+denoise stencil halo
-    # exchange, TAA), not the full 5-stage EAW chain whose SPMD compile
-    # alone costs ~60s
-    options = RenderOptions(eaw5=False)
+    # the literal DEFAULT options — including the 5-stage eaw5 chain, which
+    # runs through halo_map'd Pallas stencils under SPMD (the jnp fallback's
+    # ~100-tap partitioning is what made eaw5-in-frame uncompilable before).
+    # The flag forces the Pallas stencil kernels on this CPU run (interpret
+    # mode) for BOTH sessions, so ref and sharded trace identical math.
+    os.environ["CAPSAICIN_PALLAS_STENCIL"] = "1"
+    options = RenderOptions()
     scene_host = build_scene(cornell_box())
     camera = make_camera("cornell", width, height)
 
@@ -96,16 +100,16 @@ def main(n_dev: int) -> None:
     np.testing.assert_array_equal(
         np.asarray(sharded_any(o, d, 1e-4, 1e6)), np.asarray(want_any))
 
-    # eaw5 chain (disocclusion + strides 1,3,5,7) under SPMD: the one pass
-    # family excluded from the sharded frame above (its ~100 stencil taps
-    # each partition into a halo exchange — too slow to compile inside the
-    # full frame, cheap enough standalone). Equality vs single-device.
+    # eaw5 chain (disocclusion + strides 1,3,5,7) under SPMD, standalone,
+    # on the jnp fallback path (XLA partitions each roll tap): equality vs
+    # single-device. The halo_map'd Pallas path is checked after it.
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from capsaicin_tpu.ops import mathops as mo
     from capsaicin_tpu.render import passes
     from capsaicin_tpu.render.settings import default_settings
 
+    os.environ["CAPSAICIN_PALLAS_STENCIL"] = "0"  # jnp fallback under test
     opt5 = RenderOptions(eaw5=True)
     settings = default_settings()
     h5, w5 = 8 * n_dev, 64
@@ -141,6 +145,23 @@ def main(n_dev: int) -> None:
     # five chained stencils accumulate SPMD float-reassociation drift;
     # same tolerance as the full-frame comparison above
     np.testing.assert_allclose(np.asarray(got5), want5, atol=1e-3)
+
+    # halo_map'd Pallas eaw5 chain (the production SPMD stencil placement):
+    # multi-hop ppermute halo (reach 35 > the 8-row shards) vs single-chip
+    os.environ["CAPSAICIN_PALLAS_STENCIL"] = "1"
+    want5p = np.asarray(passes.denoise(color4, nd5, m4, settings, opt5))
+    with passes.stencil_spmd_scope(mesh):
+        got5p = jax.jit(
+            lambda c, n, mm: passes.denoise(c, n, mm, settings, opt5),
+            out_shardings=row,
+        )(c_sh, nd_sh, m_sh)
+    assert got5p.sharding.num_devices == n_dev, got5p.sharding
+    # interpret-mode Pallas compiles to different fusions in the sharded
+    # program (on hardware the Mosaic kernel is identical machine code);
+    # same drift tolerance as the other sharded checks
+    np.testing.assert_allclose(np.asarray(got5p), want5p, atol=1e-3)
+    # both implementations agree with each other too
+    np.testing.assert_allclose(want5p, want5, atol=1e-3)
 
     print(f"multichip impl OK ({n_dev} devices)")
 
