@@ -18,7 +18,7 @@ Quick start::
 """
 
 from .ops.camera import Camera, default_camera
-from .scene.scene import Scene, build_scene, load_scene_obj
+from .scene.scene import Scene, build_scene, load_scene_obj, merge_scenes
 from .version import __version__
 
 __all__ = [
@@ -30,6 +30,7 @@ __all__ = [
     "default_camera",
     "init",
     "load_scene_obj",
+    "merge_scenes",
     "shutdown",
 ]
 

@@ -87,6 +87,7 @@ class RenderSession:
         self.camera = camera or default_camera(aspect=height / width)
         self.noise = jnp.asarray(textures.blue_noise_256())
         self.scene_dev: Optional[Scene] = None
+        self.scene_host: Optional[Scene] = None
         self.bvh = None
         self.state: Optional[pipeline.FrameState] = None
         self._frame_fn = None
@@ -102,6 +103,7 @@ class RenderSession:
     def set_scene(self, scene: Scene):
         """Upload the scene and (re)build acceleration structures — the
         analog of AssetLoad + BLAS + TLAS systems firing on the next frame."""
+        self.scene_host = scene
         if self.mesh is not None:
             from ..parallel import sharding as sh
 
@@ -122,6 +124,19 @@ class RenderSession:
         self._frame_fn = None
         self._fn_cache.clear()
         self.reset()
+
+    def add_scene(self, scene: Scene):
+        """Append another scene's meshes into the session's pooled geometry
+        and rebuild acceleration — reference parity for calling
+        LoadSceneFromOBJ repeatedly mid-session, where each call accumulates
+        into the persistent pools and BLAS-builds the new meshes
+        (asset_load_system.cpp:162-255, capsaicin.cpp:65-73)."""
+        from ..scene.scene import merge_scenes
+
+        if self.scene_dev is None:
+            self.set_scene(scene)
+            return
+        self.set_scene(merge_scenes(self.scene_host, scene))
 
     def set_camera(self, camera: Camera):
         self.camera = camera

@@ -200,6 +200,75 @@ def build_scene(
     )
 
 
+def _has_textures(scene: Scene) -> bool:
+    return bool(np.any(scene.mesh_texture >= 0))
+
+
+def merge_scenes(a: Scene, b: Scene) -> Scene:
+    """Append scene `b`'s meshes into `a`'s pooled buffers — the analog of
+    the reference accumulating every LoadSceneFromOBJ call into its
+    persistent geometry pools (asset_load_system.cpp:162-255,
+    capsaicin.cpp:65-73: repeated calls ADD to the scene).
+
+    Pooled streams concatenate directly (indices are mesh-local; the mesh
+    table's first_vertex/first_index/first_prim offsets shift by `a`'s
+    totals). Texture atlases are re-padded to the joint tile size and
+    concatenated, with `b`'s texture indices shifted — unless one side has
+    no textured mesh at all, in which case its placeholder atlas is dropped
+    instead of wasting an atlas slot."""
+    cat = np.concatenate
+
+    # atlas merge (placeholder-aware)
+    if not _has_textures(b):
+        atlas, sizes = a.atlas, a.atlas_size
+        b_tex_shift = 0
+    elif not _has_textures(a):
+        atlas, sizes = b.atlas, b.atlas_size
+        b_tex_shift = 0
+    else:
+        th = max(a.atlas.shape[1], b.atlas.shape[1])
+        tw = max(a.atlas.shape[2], b.atlas.shape[2])
+        n = a.atlas.shape[0] + b.atlas.shape[0]
+        atlas = np.zeros((n, th, tw, a.atlas.shape[3]), np.float32)
+        atlas[: a.atlas.shape[0], : a.atlas.shape[1], : a.atlas.shape[2]] = a.atlas
+        atlas[a.atlas.shape[0] :, : b.atlas.shape[1], : b.atlas.shape[2]] = b.atlas
+        sizes = cat([a.atlas_size, b.atlas_size])
+        b_tex_shift = a.atlas.shape[0]
+
+    b_tex = np.where(b.mesh_texture >= 0, b.mesh_texture + b_tex_shift, -1)
+    return Scene(
+        positions=cat([a.positions, b.positions]),
+        normals=cat([a.normals, b.normals]),
+        texcoords=cat([a.texcoords, b.texcoords]),
+        indices=cat([a.indices, b.indices]),
+        mesh_first_vertex=cat(
+            [a.mesh_first_vertex, b.mesh_first_vertex + a.positions.shape[0]]
+        ).astype(np.int32),
+        mesh_vertex_count=cat([a.mesh_vertex_count, b.mesh_vertex_count]),
+        mesh_first_index=cat(
+            [a.mesh_first_index, b.mesh_first_index + a.indices.shape[0]]
+        ).astype(np.int32),
+        mesh_index_count=cat([a.mesh_index_count, b.mesh_index_count]),
+        mesh_texture=cat([a.mesh_texture, b_tex]).astype(np.int32),
+        mesh_kd=cat([a.mesh_kd, b.mesh_kd]),
+        mesh_first_prim=cat(
+            [a.mesh_first_prim, b.mesh_first_prim + a.tri_v0.shape[0]]
+        ).astype(np.int32),
+        tri_v0=cat([a.tri_v0, b.tri_v0]),
+        tri_v1=cat([a.tri_v1, b.tri_v1]),
+        tri_v2=cat([a.tri_v2, b.tri_v2]),
+        tri_n0=cat([a.tri_n0, b.tri_n0]),
+        tri_n1=cat([a.tri_n1, b.tri_n1]),
+        tri_n2=cat([a.tri_n2, b.tri_n2]),
+        tri_t0=cat([a.tri_t0, b.tri_t0]),
+        tri_t1=cat([a.tri_t1, b.tri_t1]),
+        tri_t2=cat([a.tri_t2, b.tri_t2]),
+        tri_mesh=cat([a.tri_mesh, b.tri_mesh + a.num_meshes]).astype(np.int32),
+        atlas=atlas,
+        atlas_size=sizes,
+    )
+
+
 def load_scene_obj(path: str, texture_dir: Optional[str] = None) -> Scene:
     """One-call OBJ -> Scene (public-API analog of LoadSceneFromOBJ,
     capsaicin.cpp:65-73)."""

@@ -14,6 +14,86 @@ from capsaicin_tpu.scene.procedural import (
 from capsaicin_tpu.scene.scene import load_scene_obj
 
 
+def test_merge_scenes_matches_combined_build():
+    """merge_scenes(A, B) equals building one scene from both mesh lists
+    (offset fixups for the pooled streams, mesh table, and tri_mesh)."""
+    from capsaicin_tpu.scene import merge_scenes
+
+    meshes_a = cornell_box()
+    meshes_b = colonnade(target_tris=200)
+    merged = merge_scenes(build_scene(meshes_a), build_scene(meshes_b))
+    combined = build_scene(meshes_a + meshes_b)
+    for field in combined._fields:
+        np.testing.assert_array_equal(
+            getattr(merged, field), getattr(combined, field), err_msg=field)
+
+
+def test_merge_scenes_textured_atlas_offsets():
+    """Texture indices shift by the first atlas's size; placeholder atlases
+    (untextured scenes) are dropped rather than concatenated."""
+    from capsaicin_tpu.scene import merge_scenes
+
+    meshes_t, images = cornell_box_textured()
+    plain = build_scene(cornell_box())
+    textured = build_scene(meshes_t, images)
+
+    m1 = merge_scenes(plain, textured)
+    assert m1.atlas.shape[0] == textured.atlas.shape[0]
+    np.testing.assert_array_equal(
+        m1.mesh_texture[plain.num_meshes:], textured.mesh_texture)
+
+    m2 = merge_scenes(textured, textured)
+    assert m2.atlas.shape[0] == 2 * textured.atlas.shape[0]
+    shifted = np.where(
+        textured.mesh_texture >= 0,
+        textured.mesh_texture + textured.atlas.shape[0], -1)
+    np.testing.assert_array_equal(m2.mesh_texture[textured.num_meshes:], shifted)
+    assert m2.num_triangles == 2 * textured.num_triangles
+
+
+def test_add_scene_two_objs_render(tmp_path):
+    """Reference parity: two sequential OBJ loads accumulate into the
+    session (repeated LoadSceneFromOBJ, capsaicin.cpp:65-73) and both are
+    visible in the render."""
+    from capsaicin_tpu.render import RenderOptions, RenderSession
+    from capsaicin_tpu.scene.procedural import make_camera
+
+    import dataclasses
+
+    box = cornell_box()
+    # second asset: the tall box meshes only, shifted toward the camera so
+    # they occlude part of the first scene
+    def shifted(m):
+        pos = (np.asarray(m.positions, np.float32).reshape(-1, 3)
+               + np.float32([0.4, 0, 0.3]))
+        return dataclasses.replace(m, positions=list(pos.reshape(-1)))
+
+    extra = [shifted(m) for m in box if m.name == "tallBox"]
+    p1 = os.path.join(tmp_path, "a.obj")
+    p2 = os.path.join(tmp_path, "b.obj")
+    write_obj(p1, box)
+    write_obj(p2, extra)
+
+    opts = RenderOptions(taa=False, eaw5=False, denoise=False, gather=False,
+                         num_diffuse_bounces=0)
+    sess = RenderSession(width=32, height=32, options=opts, traversal="brute")
+    sess.set_camera(make_camera("cornell", 32, 32))
+    sess.add_scene(load_scene_obj(p1))  # first add == set_scene
+    img1 = sess.render()
+    sess.add_scene(load_scene_obj(p2))
+    assert sess.scene_host.num_meshes == len(box) + len(extra)
+    img2 = sess.render()
+    assert np.all(np.isfinite(img2))
+    # the added geometry changes the image
+    assert np.abs(img2 - img1).max() > 1e-3
+
+    # and equals a single combined load
+    ref = RenderSession(width=32, height=32, options=opts, traversal="brute")
+    ref.set_camera(make_camera("cornell", 32, 32))
+    ref.set_scene(build_scene(box + extra))
+    np.testing.assert_allclose(img2, ref.render(), atol=1e-5)
+
+
 def test_obj_roundtrip_cornell(tmp_path):
     meshes = cornell_box()
     path = os.path.join(tmp_path, "cornell_box.obj")
