@@ -168,33 +168,58 @@ class RenderSession:
         if reset_needed:
             self.reset()
 
+    def panel_variants(self, base: Optional[RenderOptions] = None):
+        """Every single-field flip the viewer panel exposes from `base`
+        (gui_system.cpp:69-91): all 4 output modes, each toggle flipped,
+        and the full bounce range 0..5 (gui_system.cpp:74), plus the most
+        common multi-toggle combos (raw-preview and direct-only modes)."""
+        import dataclasses
+
+        base = self.options if base is None else base
+        variants = [base]
+        for mode_ in range(4):
+            variants.append(dataclasses.replace(base, output=mode_))
+        for field in ("denoise", "eaw5", "gather", "taa"):
+            variants.append(
+                dataclasses.replace(
+                    base, **{field: not getattr(base, field)}))
+        for b in range(6):
+            variants.append(dataclasses.replace(base, num_diffuse_bounces=b))
+        # likely combos: raw preview (all post off) and direct-only fast path
+        variants.append(dataclasses.replace(
+            base, denoise=False, gather=False, taa=False))
+        variants.append(dataclasses.replace(
+            base, output=1, denoise=False, gather=False, taa=False,
+            num_diffuse_bounces=0))
+        return list(dict.fromkeys(variants))
+
     def precompile_variants(self, variants=None):
         """Compile a set of RenderOptions variants ahead of time so runtime
         flips don't hitch (SURVEY.md §7 item 7: 'settings changes that flip
         kernel variants should be jit-static and precompiled'). Default set:
-        every single-field flip the viewer panel exposes (output modes,
-        denoise/eaw5/gather/taa off, bounce counts 0..3). Multi-toggle
-        COMBINATIONS still compile on first use — one hitch each, then the
-        persistent XLA cache makes them instant in later sessions. Requires
-        a scene. Returns the number compiled."""
-        import dataclasses
-
+        panel_variants() — every single-field flip the viewer panel exposes
+        plus the common combos. Deeper combinations are covered by the
+        viewer kicking precompile_background() after each flip (the new
+        state's neighborhood compiles while the old variant keeps
+        rendering). Requires a scene. Returns the number compiled."""
         if self.scene_dev is None:
             raise RuntimeError("set_scene() first")
         if variants is None:
-            base = self.options
-            variants = [base]
-            for mode_ in range(4):
-                variants.append(dataclasses.replace(base, output=mode_))
-            for field in ("denoise", "eaw5", "gather", "taa"):
-                variants.append(dataclasses.replace(base, **{field: False}))
-            for b in (0, 1, 2, 3):
-                variants.append(dataclasses.replace(base, num_diffuse_bounces=b))
+            variants = self.panel_variants()
         n = 0
-        example = (
+
+        # lower() only needs shapes/dtypes; abstracting the example args
+        # makes this safe to run on a background thread while the render
+        # loop donates (deletes) the live state buffers
+        def _abstract(x):
+            if hasattr(x, "shape") and hasattr(x, "dtype"):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype)
+            return x
+
+        example = jax.tree.map(_abstract, (
             self.scene_dev, self.bvh, self.camera, self.state,
             self.settings, self.noise,
-        )
+        ))
         for opt in dict.fromkeys(variants):
             if opt in self._fn_cache:
                 continue
@@ -205,6 +230,20 @@ class RenderSession:
             self._fn_cache[opt] = fn
             n += 1
         return n
+
+    def precompile_background(self, variants=None):
+        """Compile variants on a daemon thread while the session keeps
+        rendering the current variant — the reference's async PSO compile
+        analog (variant changes there rebuild pipeline state without
+        stalling the frame loop). Default set: the current options'
+        panel_variants() neighborhood. Returns the thread (join() to wait;
+        tests do, viewers don't)."""
+        import threading
+
+        t = threading.Thread(
+            target=self.precompile_variants, args=(variants,), daemon=True)
+        t.start()
+        return t
 
     def resize(self, width: int, height: int):
         """Change the render resolution, refitting the camera sensor to the

@@ -233,6 +233,11 @@ class ViewerState:
                 self.session.use_options(
                     dataclasses.replace(self.session.options, **valid)
                 )
+                # hitch-free deep combos: compile the NEW state's panel
+                # neighborhood on a background thread while this (already
+                # compiled or compiling-once) variant renders — by the next
+                # human-timescale flip the target variant is warm
+                self.session.precompile_background()
         if fps_cap is not None:
             self.fps_cap = max(int(fps_cap), 0)
         camera = self.rig.to_camera(self.focal, self.sensor_w, self.aspect)

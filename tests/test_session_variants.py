@@ -55,6 +55,40 @@ def test_precompile_variants_no_hitch():
         assert np.all(np.isfinite(s.render()))
 
 
+def test_precompile_covers_full_panel_range():
+    """The default precompile set covers EVERY single-field flip the viewer
+    panel exposes — all output modes, each toggle, bounce counts 0..5
+    (gui_system.cpp:69-91) — so no panel flip recompiles."""
+    # minimal base options keep the CPU compile bill small; coverage of the
+    # flip set is what is under test, not the pass content
+    s = _session(eaw5=False, denoise=False, gather=False, taa=False,
+                 num_diffuse_bounces=0)
+    s.precompile_variants()
+    flips = [
+        dataclasses.replace(s.options, output=m) for m in range(4)
+    ] + [
+        dataclasses.replace(s.options, num_diffuse_bounces=b)
+        for b in range(6)
+    ] + [
+        dataclasses.replace(s.options, **{f: not getattr(s.options, f)})
+        for f in ("denoise", "eaw5", "gather", "taa")
+    ]
+    base = s.options
+    for v in flips:
+        s.use_options(v)
+        assert s._frame_fn is not None, f"recompile hitch for {v}"
+        s.use_options(base)  # return to the cached base state
+    # a 2-hop combo compiles in the background from the flipped base
+    first = dataclasses.replace(s.options, taa=True)
+    s.use_options(first)
+    t = s.precompile_background()
+    t.join()
+    second = dataclasses.replace(first, gather=True)
+    s.use_options(second)
+    assert s._frame_fn is not None, "background neighborhood missed the combo"
+    assert np.all(np.isfinite(s.render()))
+
+
 def test_resize_refits_aspect():
     s = _session(eaw5=False)
     s.render()
