@@ -2,9 +2,20 @@
 
 The analog of the reference's named GPU timestamp-query table
 (render_system.cpp:189-226, 271-281 surfaced in the ImGui overlay,
-gui_system.cpp:94-104). XLA fuses the whole frame, so per-pass numbers are
-obtained by jitting each pass separately and timing with block_until_ready;
-pass names match the reference's timer labels (raytracing_system.cpp:1024,
+gui_system.cpp:94-104). Two methods:
+
+  * measure_passes_inframe (default): cumulative-PREFIX timing. Prefix k
+    jits passes 1..k of the frame as ONE dispatch (every intermediate
+    output returned, so nothing is dead-code-eliminated); the per-pass cost
+    is t(prefix_k) - t(prefix_{k-1}). Each prefix pays the same fixed
+    per-dispatch overhead (~7 ms through a tunneled device), which CANCELS
+    in the difference — so the table sums to ~the fused frame time, like
+    the reference's in-frame timestamp queries (render_system.cpp:271-281).
+  * measure_passes (isolated): each pass jitted and timed separately —
+    robust to pipeline-structure drift, but each number carries the fixed
+    dispatch overhead.
+
+Pass names match the reference's timer labels (raytracing_system.cpp:1024,
 1102, 1206, 1297, 1357, 1410, 1445, 1559).
 
 Every array a pass reads is passed as a jit ARGUMENT, never closed over:
@@ -35,6 +46,110 @@ def _time(fn, *args, iters=3):
         out = fn(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / iters, out
+
+
+PASS_NAMES = (
+    "RaytracePrimaryVisibility",
+    "RT Direct lighting",
+    "RT Indirect diffuse",
+    "Spatial gather",
+    "Reproject history",
+    "Temporal upscale",
+    "EAW",
+    "Combine illumination",
+    "TAA",
+)
+
+
+def measure_passes_inframe(session, iters: int = 3) -> Dict[str, float]:
+    """In-frame per-pass timings by cumulative-prefix dispatches (see module
+    docstring): numbers sum to ~the fused frame time. Compiles one program
+    per pass (persistent-cached on TPU)."""
+    width, height = session.width, session.height
+    options = session.options
+    mode = session._resolved_mode
+    block_order = mode in ("bvh", "cull", "stream")
+    state = session.state
+
+    def stage_fns(scene, bvh, camera, settings, noise, fc, prev_camera,
+                  prev_nd, color_hist, moments_hist, combined_hist):
+        closest, any_hit = make_traversal(scene, mode, bvh)
+        env = {}
+
+        def s_primary():
+            env["gb"] = passes.trace_primary(
+                closest, camera, width, height, fc, block_order=block_order)
+
+        def s_direct():
+            env["direct"], env["albedo"], env["nd"] = passes.direct_lighting(
+                scene, any_hit, camera, env["gb"], width, height, fc,
+                options, block_order=block_order)
+
+        def s_indirect():
+            env["indirect"] = passes.indirect_gi(
+                scene, closest, any_hit, camera, prev_camera, env["gb"],
+                combined_hist, prev_nd, noise, width, height, fc, options)
+
+        def s_gather():
+            env["gathered"] = passes.spatial_gather(
+                env["indirect"], env["nd"], width, height, fc, settings,
+                options)
+
+        def s_reproject():
+            env["rep"] = passes.reproject_and_fetch_history(
+                camera, prev_camera, env["nd"], prev_nd, color_hist,
+                moments_hist, combined_hist, width, height)
+
+        def s_accum():
+            env["color_hist"], env["moments_hist"] = passes.svgf_accumulate(
+                env["gathered"], env["nd"], env["rep"], prev_camera, width,
+                height, fc, settings.temporal_upscale_feedback, options)
+
+        def s_eaw():
+            env["denoised"] = passes.denoise(
+                env["color_hist"], env["nd"], env["moments_hist"], settings,
+                options)
+
+        def s_combine():
+            env["combined"] = passes.combine(
+                env["direct"], env["denoised"], env["albedo"], options.output)
+
+        def s_taa():
+            env["final"] = passes.taa(
+                env["combined"], env["rep"], env["nd"], width, height,
+                settings.taa_feedback)
+
+        return env, (s_primary, s_direct, s_indirect, s_gather, s_reproject,
+                     s_accum, s_eaw, s_combine, s_taa)
+
+    args = (
+        session.scene_dev, session.bvh, session.camera, session.settings,
+        session.noise, state.frame_count, state.prev_camera,
+        {"oct": state.prev_nd_oct, "inst": state.prev_nd_inst,
+         "depth": state.prev_nd_depth},
+        state.color_history.astype(jnp.float32),
+        state.moments_history.astype(jnp.float32),
+        state.combined_history.astype(jnp.float32),
+    )
+
+    def prefix(k):
+        def run(*a):
+            env, fns = stage_fns(*a)
+            for f in fns[:k]:
+                f()
+            # return EVERY live intermediate: nothing upstream may be DCE'd
+            return tuple(env.values())
+
+        return jax.jit(run)
+
+    t_prev = 0.0
+    timings: Dict[str, float] = {}
+    for k, name in enumerate(PASS_NAMES, start=1):
+        t_k, _ = _time(prefix(k), *args, iters=iters)
+        timings[name] = max(t_k - t_prev, 0.0)
+        t_prev = t_k
+    timings["whole frame"] = t_prev
+    return timings
 
 
 def measure_passes(session, iters: int = 3) -> Dict[str, float]:

@@ -418,11 +418,17 @@ class RenderSession:
         named GPU timestamp table (render_system.cpp:271-281)."""
         return dict(self._timings)
 
-    def measure_pass_timings(self, iters: int = 3) -> Dict[str, float]:
-        """Per-pass timings by running instrumented sub-frames; the analog of
-        the per-pass timestamp queries in the reference."""
+    def measure_pass_timings(self, iters: int = 3,
+                             method: str = "inframe") -> Dict[str, float]:
+        """Per-pass timings; the analog of the reference's in-frame
+        timestamp queries (render_system.cpp:271-281). method='inframe'
+        (default) uses cumulative-prefix dispatches whose differences cancel
+        the fixed dispatch overhead, so the table sums to ~frame time;
+        method='isolated' times each pass as its own dispatch."""
         from . import profiling
 
+        if method == "inframe":
+            return profiling.measure_passes_inframe(self, iters=iters)
         return profiling.measure_passes(self, iters=iters)
 
     # -- checkpoint / resume ----------------------------------------------

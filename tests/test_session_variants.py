@@ -101,6 +101,30 @@ def test_resize_refits_aspect():
     assert int(s.state.frame_count) == 1  # resize resets accumulation
 
 
+def test_inframe_pass_timings_sum_to_frame():
+    """measure_pass_timings (in-frame method): one row per reference timer
+    label, and the rows sum to ~the fused frame dispatch time (the isolated
+    method's ~fixed-overhead-per-pass bias cancels in prefix differences)."""
+    import time
+
+    from capsaicin_tpu.render.profiling import PASS_NAMES
+
+    s = _session(eaw5=False)
+    s.render()
+    t = s.measure_pass_timings(iters=2)
+    assert set(t) == set(PASS_NAMES) | {"whole frame"}
+    assert all(v >= 0.0 for v in t.values())
+    pass_sum = sum(t[k] for k in PASS_NAMES)
+    # timed frame for comparison (same dispatch structure as the prefix)
+    t0 = time.perf_counter()
+    s.render()
+    frame = time.perf_counter() - t0
+    # in-frame sums track the frame within noise (CPU timers are coarse;
+    # assert the sum is the right ORDER, not a 7ms-per-pass overshoot)
+    assert pass_sum < 3.0 * frame + 0.05, (pass_sum, frame)
+    assert t["whole frame"] <= pass_sum + 1e-9
+
+
 def test_fp16_history_mode():
     """history_dtype='float16' mirrors the reference's RGBA16F history
     textures (raytracing_system.cpp:466-575): it must converge like fp32
