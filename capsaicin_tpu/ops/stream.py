@@ -28,7 +28,10 @@ per-index gather cost (~17ns/index). This kernel removes BOTH classes:
   * **Ray shortening between steps.** Before each extraction the mask is
     re-pruned against the gang's current best-t (closest) / undecided
     lanes (any-hit, the RAY_FLAG_ACCEPT_FIRST_HIT analog, lighting.h:48),
-    so blocks behind found hits are never fetched.
+    so blocks behind found hits are never fetched. Extraction pops the
+    NEAREST remaining block (min conservative entry distance) by default,
+    so best-t drops as early as possible and the re-prune retires whole
+    distant block ranges (`near_first=False` restores index order).
   * **Whole-scene, no chunking.** Triangle data stays in HBM (only the
     [8, B] box table is VMEM-resident), so one structure covers scenes far
     beyond the packet kernel's 150k-tri VMEM cap.
@@ -142,7 +145,7 @@ def _safe_inv(d):
 
 
 def _stream_kernel(
-    n_blocks, rows, any_hit,
+    n_blocks, rows, any_hit, near_first,
     rays_ref, boxes_ref, tris_hbm,
     t_out, u_out, v_out, p_out,
     cand_ref, tnear_ref, tblock_ref, sem_ref,
@@ -231,7 +234,18 @@ def _stream_kernel(
 
     def extract():
         cand = jnp.where(tnear_ref[:] > t_cap_now(), BIGI, cand_ref[:])
-        m = jnp.min(cand, axis=1, keepdims=True)  # [8,1]
+        if near_first:
+            # pop the NEAREST remaining block (min conservative entry
+            # distance, ties broken by index): closest-hit t_best drops as
+            # early as possible, so the t_cap re-prune above retires whole
+            # distant block ranges instead of streaming them
+            has = cand < BIGI
+            tn = jnp.where(has, tnear_ref[:], big)
+            mt = jnp.min(tn, axis=1, keepdims=True)
+            pick = jnp.where(tn == mt, cand, BIGI)
+            m = jnp.min(pick, axis=1, keepdims=True)  # [8,1]
+        else:
+            m = jnp.min(cand, axis=1, keepdims=True)  # [8,1]
         cand_ref[:] = jnp.where(cand == m, BIGI, cand)
         return m
 
@@ -329,11 +343,11 @@ def _stream_kernel(
     wait_dmas(p_fin)  # drain the final (unconsumed) DMA set
 
 
-def _run(sbvh: StreamBVH, rays_tiled, any_hit: bool):
+def _run(sbvh: StreamBVH, rays_tiled, any_hit: bool, near_first: bool = True):
     np_ = rays_tiled.shape[0]
     bp = sbvh.boxes.shape[1]
     kernel = functools.partial(
-        _stream_kernel, sbvh.n_blocks, sbvh.rows, any_hit,
+        _stream_kernel, sbvh.n_blocks, sbvh.rows, any_hit, near_first,
     )
     f32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.float32)
     i32 = jax.ShapeDtypeStruct((np_, 1, SUB, LANE), jnp.int32)
@@ -366,9 +380,10 @@ def _untile(x, n):
     return x.reshape(-1)[:n]
 
 
-def stream_closest(sbvh: StreamBVH, origins, dirs, tmin=0.0, tmax=1e6):
+def stream_closest(sbvh: StreamBVH, origins, dirs, tmin=0.0, tmax=1e6,
+                   near_first: bool = True):
     rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
-    t, u, v, prim = _run(sbvh, rays, any_hit=False)
+    t, u, v, prim = _run(sbvh, rays, any_hit=False, near_first=near_first)
     prim = _untile(prim, n)
     return {
         "t": jnp.where(prim < 0, jnp.float32(INF), _untile(t, n)),
@@ -378,9 +393,10 @@ def stream_closest(sbvh: StreamBVH, origins, dirs, tmin=0.0, tmax=1e6):
     }
 
 
-def stream_any(sbvh: StreamBVH, origins, dirs, tmin=1e-4, tmax=1e6):
+def stream_any(sbvh: StreamBVH, origins, dirs, tmin=1e-4, tmax=1e6,
+               near_first: bool = True):
     rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
-    t, u, v, prim = _run(sbvh, rays, any_hit=True)
+    t, u, v, prim = _run(sbvh, rays, any_hit=True, near_first=near_first)
     # dead lanes latch prim=0 in-kernel for the retirement check; normalize
     alive = jnp.broadcast_to(
         jnp.asarray(tmax, jnp.float32), origins.shape[:1]

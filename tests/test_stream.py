@@ -92,6 +92,26 @@ def test_stream_nonpow2_blocks_validity(rng):
         _check(tris, o, d)
 
 
+def test_stream_extraction_order_equal(rng):
+    """near_first extraction must be a pure perf knob: identical results
+    to index-order extraction on a dense scene."""
+    scene = build_scene(colonnade(target_tris=4000))
+    tris = jnp.asarray(scene.triangles())
+    o, d = _rays(rng, 640, spread=5.0)
+    sbvh = stream.build_stream_bvh(tris)
+    a = stream.stream_closest(sbvh, o, d, near_first=True)
+    b = stream.stream_closest(sbvh, o, d, near_first=False)
+    same = np.asarray(a["prim"]) == np.asarray(b["prim"])
+    if not same.all():  # equal-t tie between two prims
+        np.testing.assert_allclose(
+            np.asarray(a["t"])[~same], np.asarray(b["t"])[~same], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(a["t"]), np.asarray(b["t"]),
+                               rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(stream.stream_any(sbvh, o, d, near_first=True)),
+        np.asarray(stream.stream_any(sbvh, o, d, near_first=False)))
+
+
 def test_stream_tiny_scene(rng):
     tris = jnp.asarray(rng.normal(size=(5, 3, 3)).astype(np.float32))
     o, d = _rays(rng, 130)
