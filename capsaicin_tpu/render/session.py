@@ -380,22 +380,38 @@ class RenderSession:
         self._timings["frame"] = time.perf_counter() - t0
         return np.asarray(display)
 
-    def render_loop(self, frames: int, camera: Optional[Camera] = None):
-        """Render `frames` frames in ONE device dispatch (lax.fori_loop over
-        the frame step with carried state) and return the last display image
-        as a device array. Amortizes the per-frame host dispatch overhead
+    def render_loop(self, frames: int, camera: Optional[Camera] = None,
+                    chunk: int = 16):
+        """Render `frames` frames on-device (lax.fori_loop over the frame
+        step with carried state) and return the last display image as a
+        device array. Amortizes the per-frame host dispatch overhead
         (~1-2 ms through a tunneled device — what launch-bound small configs
-        pay per frame); the camera is held constant within the dispatch, so
-        this is the offline/progressive accumulation fast path."""
+        pay per frame); the camera is held constant across the loop, so
+        this is the offline/progressive accumulation fast path.
+
+        The device loop always runs a FIXED `chunk` trip count (the count
+        bakes into the HLO, so every distinct value is a fresh multi-minute
+        compile — PERF.md): `frames` is served as floor(frames/chunk)
+        chunk dispatches plus single-frame dispatches for the remainder,
+        reusing at most two compiled programs for ANY frame count."""
         if self.scene_dev is None:
             raise RuntimeError("set_scene() first")
         if camera is not None:
             self.camera = camera
-        fn = self._build_frame_fn(loop_frames=frames)
-        display, self.state = fn(
-            self.scene_dev, self.bvh, self.camera, self.state, self.settings,
-            self.noise,
-        )
+        frames = int(frames)
+        if frames <= 0:
+            raise ValueError("frames must be >= 1")
+        n_chunks, rem = divmod(frames, max(int(chunk), 1))
+        display = None
+        if n_chunks:
+            fn = self._build_frame_fn(loop_frames=max(int(chunk), 1))
+            for _ in range(n_chunks):
+                display, self.state = fn(
+                    self.scene_dev, self.bvh, self.camera, self.state,
+                    self.settings, self.noise,
+                )
+        for _ in range(rem):
+            display = self.render_async()
         return display
 
     def render_async(self, camera: Optional[Camera] = None):

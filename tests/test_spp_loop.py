@@ -58,12 +58,14 @@ def test_render_loop_matches_sequential():
         want = ref.render()
 
     sess = _session(opts)
-    got = np.asarray(sess.render_loop(3))
+    # frames=3, chunk=2: one fixed-k device loop + one single-frame
+    # remainder dispatch — the two-program path for arbitrary counts
+    got = np.asarray(sess.render_loop(3, chunk=2))
     assert int(sess.state.frame_count) == 3
     np.testing.assert_allclose(got, want, atol=1e-5)
 
-    # a second dispatch continues from the carried state
-    got2 = np.asarray(sess.render_loop(2))
+    # a second dispatch continues from the carried state (pure chunk path)
+    got2 = np.asarray(sess.render_loop(2, chunk=2))
     for _ in range(2):
         want2 = ref.render()
     assert int(sess.state.frame_count) == 5
