@@ -6,9 +6,10 @@ CPU mesh (see test_multichip.py). Asserts:
    single-device session: row-sharded state, replicated scene/BVH,
    shard_map'd traversal, and the Pallas stencil chains (gather + 5-stage
    EAW) running per-shard via halo_map's ppermute halo exchange.
-2. The production Pallas packet-traversal kernel composes with shard_map
-   (interpret mode on CPU): the sharded trace selects the SAME kernel as
-   single-chip and returns identical results.
+2. The production Pallas traversal kernels (packet-BVH AND the
+   DMA-streaming dense-scene kernel) compose with shard_map (interpret
+   mode on CPU): the sharded trace selects the SAME kernel as single-chip
+   and returns identical results.
 3. The 5-stage eaw5 denoise chain partitions correctly standalone on BOTH
    SPMD implementations: the jnp roll fallback (XLA-partitioned) and the
    halo_map'd Pallas chain, each row-sharded-equal to single-device.
@@ -99,6 +100,22 @@ def main(n_dev: int) -> None:
             bvh, oo, dd, a, b))
     np.testing.assert_array_equal(
         np.asarray(sharded_any(o, d, 1e-4, 1e6)), np.asarray(want_any))
+
+    # DMA-streaming kernel x shard_map: the dense-scene multi-chip path
+    # (replicated StreamBVH, row-sharded rays, per-shard gang packing)
+    from capsaicin_tpu.ops import stream as st
+
+    sb = st.build_stream_bvh(np.asarray(scene_host.triangles()))
+    sb_rep = jax.device_put(sb, sh.replicated(mesh))
+    want_s = st.stream_closest(sb, o, d, 0.0, 1e6)
+    sharded_s = sh.shard_trace(
+        mesh, None, sb_rep,
+        lambda _scene, bvh: lambda oo, dd, a, b: st.stream_closest(
+            bvh, oo, dd, a, b))
+    got_s = sharded_s(o, d, 0.0, 1e6)
+    for k in ("t", "u", "v", "prim"):
+        np.testing.assert_array_equal(
+            np.asarray(got_s[k]), np.asarray(want_s[k]), err_msg=f"stream {k}")
 
     # eaw5 chain (disocclusion + strides 1,3,5,7) under SPMD, standalone,
     # on the jnp fallback path (XLA partitions each roll tap): equality vs
