@@ -112,6 +112,23 @@ def test_stream_extraction_order_equal(rng):
         np.asarray(stream.stream_any(sbvh, o, d, near_first=False)))
 
 
+def test_stream_hier_equals_flat(rng):
+    """Hierarchical (two-level) extraction must be a pure perf knob:
+    identical pops in the same (tnear, id) order as the flat full-width
+    scan, so bit-identical results on a dense scene."""
+    scene = build_scene(colonnade(target_tris=4000))
+    tris = jnp.asarray(scene.triangles())
+    o, d = _rays(rng, 640, spread=5.0)
+    sbvh = stream.build_stream_bvh(tris)
+    a = stream.stream_closest(sbvh, o, d, hier=True)
+    b = stream.stream_closest(sbvh, o, d, hier=False)
+    for k in ("t", "u", "v", "prim"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    np.testing.assert_array_equal(
+        np.asarray(stream.stream_any(sbvh, o, d, hier=True)),
+        np.asarray(stream.stream_any(sbvh, o, d, hier=False)))
+
+
 def test_stream_tiny_scene(rng):
     tris = jnp.asarray(rng.normal(size=(5, 3, 3)).astype(np.float32))
     o, d = _rays(rng, 130)

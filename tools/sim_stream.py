@@ -1,0 +1,356 @@
+#!/usr/bin/env python
+"""Exact CPU step-count simulation of the stream traversal kernel.
+
+Answers, without TPU hardware, the question that decides the colonnade
+config (BASELINE config 4): how many while_loop steps does ops/stream.py
+execute per 1024-ray gang, under (a) index-order vs nearest-first
+extraction and (b) block sizes, on the real 1080p primary/shadow/bounce
+workloads?  Each step costs roughly [extract ~5 vector ops over [8,Bp] +
+one 8-block DMA (overlapped) + 32-tri MT on [8,128]] — measured per-step
+cost is applied afterwards; the simulation itself mirrors the kernel's
+candidate/pruning logic EXACTLY (same interval-arithmetic cull, same
+conservative t_cap, same pop rule), with real per-ray Moller-Trumbore
+updating t_best between steps.
+
+Runs on CPU NumPy over a stratified sample of gangs (default every 16th)
+and extrapolates. Usage:
+  python tools/sim_stream.py [--target 250000] [--block 32] [--stride 16]
+                             [--workload primary|shadow|bounce|all]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# pure-CPU analysis tool: the env var alone is NOT enough (sitecustomize
+# presets axon and would hang device init when the tunnel is down)
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+SUB, LANE = 8, 128
+GANG = SUB * LANE
+INF = np.float32(1e30)
+
+
+def build_blocks(tris, block_tris):
+    from capsaicin_tpu.ops.lbvh import build_median_bvh
+
+    bvh = build_median_bvh(np.asarray(tris), leaf_size=block_tris,
+                           to_device=False)
+    b = bvh.n_leaves
+    lo = np.asarray(bvh.nodes_min)[b:]
+    hi = np.asarray(bvh.nodes_max)[b:]
+    valid = lo[:, 0] <= hi[:, 0]
+    v0 = np.asarray(bvh.tri_v0).reshape(b, block_tris, 3)
+    e1 = np.asarray(bvh.tri_e1).reshape(b, block_tris, 3)
+    e2 = np.asarray(bvh.tri_e2).reshape(b, block_tris, 3)
+    tid = np.asarray(bvh.tri_id).reshape(b, block_tris)
+    return lo, hi, valid, v0, e1, e2, tid
+
+
+def safe_inv(d):
+    tiny = np.abs(d) < 1e-12
+    return np.where(tiny, np.where(d < 0, -1e12, 1e12),
+                    1.0 / np.where(tiny, 1.0, d))
+
+
+def cull(lo, hi, valid, o, d, tmin, tmax):
+    """Mirror of the kernel's per-sub-packet interval cull.
+    o,d [SUB,LANE,3]; returns hit [SUB,B] bool, tn [SUB,B]."""
+    live = tmax >= tmin  # [SUB,LANE]
+    big = np.float32(INF)
+    inv = safe_inv(d)
+
+    def lo_of(x):
+        return np.min(np.where(live, x, big), axis=1)  # [SUB]
+
+    def hi_of(x):
+        return np.max(np.where(live, x, -big), axis=1)
+
+    tn = None
+    tf = None
+    for ax in range(3):
+        o_lo, o_hi = lo_of(o[..., ax]), hi_of(o[..., ax])
+        i_lo, i_hi = lo_of(inv[..., ax]), hi_of(inv[..., ax])
+        blo, bhi = lo[:, ax][None, :], hi[:, ax][None, :]  # [1,B]
+        a0l = blo - o_hi[:, None]
+        a0h = blo - o_lo[:, None]
+        a1l = bhi - o_hi[:, None]
+        a1h = bhi - o_lo[:, None]
+
+        def prods(al, ah, il=i_lo[:, None], ih=i_hi[:, None]):
+            p = np.stack([al * il, al * ih, ah * il, ah * ih])
+            return p.min(0), p.max(0)
+
+        l0, h0 = prods(a0l, a0h)
+        l1, h1 = prods(a1l, a1h)
+        alo = np.minimum(l0, l1)
+        ahi = np.maximum(h0, h1)
+        tn = alo if tn is None else np.maximum(tn, alo)
+        tf = ahi if tf is None else np.minimum(tf, ahi)
+    tmin_lo = np.min(np.where(live, tmin, big), axis=1)
+    tcap0 = np.max(np.where(live, tmax, -big), axis=1)
+    any_live = live.any(axis=1)
+    hit = ((tn <= tf) & (tf >= tmin_lo[:, None]) & (tn <= tcap0[:, None])
+           & valid[None, :] & any_live[:, None])
+    return hit, tn
+
+
+def mt_block(o, d, v0, e1, e2, tid, tmin, cap):
+    """Per-ray MT of one block vs 128 rays; returns per-ray best t."""
+    p = np.cross(d[:, None, :], e2[None, :, :])
+    det = (e1[None] * p).sum(-1)
+    tv = o[:, None, :] - v0[None, :, :]
+    inv_det = np.where(np.abs(det) > 1e-12,
+                       1.0 / np.where(det == 0, 1.0, det), 0.0)
+    u = (tv * p).sum(-1) * inv_det
+    q = np.cross(tv, e1[None, :, :])
+    v = (d[:, None, :] * q).sum(-1) * inv_det
+    t = (e2[None] * q).sum(-1) * inv_det
+    ok = ((np.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1.0)
+          & (t > tmin[:, None]) & (t < cap[:, None]) & (tid >= 0)[None, :])
+    t = np.where(ok, t, INF)
+    return t.min(axis=1)
+
+
+def sim_gang(lo, hi, valid, v0, e1, e2, tid, o, d, tmin, tmax,
+             near_first, any_hit=False):
+    """Returns (steps, popped_blocks) for one gang.
+
+    Mirrors the kernel's double-buffered pipeline exactly: extraction of
+    step k+1 happens BEFORE Moller-Trumbore of step k, so pruning sees a
+    t_best that lags the MT stream by one block."""
+    hit, tn = cull(lo, hi, valid, o, d, tmin, tmax)
+    t_best = tmax.copy()
+    decided = np.zeros((SUB, LANE), bool)  # any-hit: ray found an occluder
+    live = tmax >= tmin
+    cand = [set(np.nonzero(hit[s])[0].tolist()) for s in range(SUB)]
+
+    def pop_all():
+        out = [None] * SUB
+        for s in range(SUB):
+            if not cand[s]:
+                continue
+            if any_hit:
+                und = live[s] & ~decided[s]
+                cap = np.max(np.where(und, tmax[s], -INF), initial=-INF)
+            else:
+                cap = np.max(np.where(live[s],
+                                      np.minimum(t_best[s], tmax[s]), -INF),
+                             initial=-INF)
+            cand[s] = {b for b in cand[s] if tn[s, b] <= cap}
+            if not cand[s]:
+                continue
+            if near_first:
+                b = min(cand[s], key=lambda b: (tn[s, b], b))
+            else:
+                b = min(cand[s])
+            cand[s].discard(b)
+            out[s] = b
+        return out
+
+    prev = pop_all()
+    steps = 0
+    popped = sum(b is not None for b in prev)
+    while any(b is not None for b in prev):
+        nxt = pop_all()
+        for s, b in enumerate(prev):
+            if b is None:
+                continue
+            cap_r = np.minimum(t_best[s], tmax[s])
+            tb = mt_block(o[s], d[s], v0[b], e1[b], e2[b], tid[b],
+                          tmin[s], cap_r)
+            if any_hit:
+                decided[s] |= tb < INF
+            else:
+                t_best[s] = np.minimum(t_best[s], tb)
+        popped += sum(b is not None for b in nxt)
+        prev = nxt
+        steps += 1
+    return steps, popped
+
+
+def gangs_of(o, d, width, height):
+    """8x128-pixel-block gang order (passes._to_blocks)."""
+    o = o.reshape(height // 8, 8, width // 128, 128, 3).swapaxes(1, 2)
+    d = d.reshape(height // 8, 8, width // 128, 128, 3).swapaxes(1, 2)
+    return (o.reshape(-1, SUB, LANE, 3), d.reshape(-1, SUB, LANE, 3))
+
+
+def gangs_of_scalar(x, width, height):
+    """Same pixel-block gang order for a per-ray scalar field."""
+    return (x.reshape(height // 8, 8, width // 128, 128)
+            .swapaxes(1, 2).reshape(-1, SUB, LANE))
+
+
+def trace_primary_hits(tris, o, d, cache_path, chunk=131072):
+    """Exact closest hits for the real-workload sims via the jnp BVH
+    oracle (chunked; CPU jax). Cached to disk — the trace costs minutes."""
+    if cache_path and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        if z["n"] == len(o):
+            return {k: z[k] for k in ("t", "prim")}
+    import jax
+    import jax.numpy as jnp
+
+    from capsaicin_tpu.ops import lbvh, traverse
+
+    bvh = lbvh.build_lbvh(jnp.asarray(tris))
+    f = jax.jit(lambda oo, dd: traverse.bvh_closest(bvh, oo, dd, 0.0, 1e6))
+    ts, ps = [], []
+    for i in range(0, len(o), chunk):
+        r = f(jnp.asarray(o[i : i + chunk]), jnp.asarray(d[i : i + chunk]))
+        ts.append(np.asarray(r["t"]))
+        ps.append(np.asarray(r["prim"]))
+        print(f"  traced {min(i + chunk, len(o))}/{len(o)} primary rays",
+              flush=True)
+    t, prim = np.concatenate(ts), np.concatenate(ps)
+    if cache_path:
+        np.savez(cache_path, t=t, prim=prim, n=len(o))
+    return {"t": t, "prim": prim}
+
+
+def hit_geometry(tris, o, d, hits):
+    """(hit points, shading-side geometric normals, hit mask)."""
+    prim = hits["prim"]
+    hitm = prim >= 0
+    tri = np.asarray(tris)[np.clip(prim, 0, len(tris) - 1)]
+    gn = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    gn /= np.maximum(np.linalg.norm(gn, axis=-1, keepdims=True), 1e-12)
+    gn = np.where((gn * d).sum(-1, keepdims=True) > 0, -gn, gn)
+    p = o + d * np.where(hitm, hits["t"], 0.0)[:, None]
+    return p.astype(np.float32), gn.astype(np.float32), hitm
+
+
+def sort_dirbins(o, d, dead, grid):
+    """Finer-than-octant direction binning: major-axis face (6) x grid^2
+    face cells, then origin morton — tests whether narrower per-sub-packet
+    angular spread shrinks incoherent-ray candidate sets."""
+    from capsaicin_tpu.ops.lbvh import morton_codes
+    import jax.numpy as jnp
+
+    ax = np.argmax(np.abs(d), axis=-1)
+    sgn = (np.take_along_axis(d, ax[:, None], 1)[:, 0] > 0).astype(np.uint32)
+    face = ax.astype(np.uint32) * 2 + sgn
+    m = np.take_along_axis(d, ax[:, None], 1)[:, 0]
+    u_ = np.take_along_axis(d, ((ax + 1) % 3)[:, None], 1)[:, 0] / np.abs(m)
+    v_ = np.take_along_axis(d, ((ax + 2) % 3)[:, None], 1)[:, 0] / np.abs(m)
+    qa = np.clip(((u_ + 1) * 0.5 * grid).astype(np.uint32), 0, grid - 1)
+    qb = np.clip(((v_ + 1) * 0.5 * grid).astype(np.uint32), 0, grid - 1)
+    dbin = (face * grid + qa) * grid + qb  # [0, 6*grid^2)
+    bits = int(np.ceil(np.log2(6 * grid * grid)))
+    om = np.asarray(morton_codes(
+        jnp.asarray(o), jnp.asarray(o.min(0)), jnp.asarray(o.max(0))))
+    key = (dbin.astype(np.uint64) << np.uint64(31 - bits)) | (
+        om.astype(np.uint64) >> np.uint64(bits + 1))
+    key |= dead.astype(np.uint64) << np.uint64(31)
+    return np.argsort(key, kind="stable")
+
+
+def report(tag, steps, popped, n_gangs_total, n_rays, bp):
+    steps = np.asarray(steps, np.float64)
+    popped = np.asarray(popped, np.float64)
+    total_steps = steps.mean() * n_gangs_total
+    print(f"[{tag}] steps/gang mean={steps.mean():.1f} p50="
+          f"{np.percentile(steps, 50):.0f} p95={np.percentile(steps, 95):.0f}"
+          f" max={steps.max():.0f}  pops/gang={popped.mean():.1f}")
+    for step_us in (0.3, 0.6, 1.2):
+        # fixed extract cost scales with the box-table width (Bp lanes)
+        t = total_steps * step_us * 1e-6
+        print(f"    @ {step_us:.1f}us/step: pass {t*1e3:6.1f} ms  "
+              f"{n_rays/t/1e6:7.1f} Mrays/s")
+    return total_steps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--target", type=int, default=250_000)
+    ap.add_argument("--block", type=int, default=32)
+    ap.add_argument("--stride", type=int, default=16)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--workload", default="primary",
+                    choices=("primary", "shadow", "bounce", "all"))
+    ap.add_argument("--orders", default="near,index")
+    args = ap.parse_args()
+
+    from capsaicin_tpu.ops.camera import create_primary_rays, pixel_grid
+    from capsaicin_tpu.scene import build_scene
+    from capsaicin_tpu.scene.procedural import colonnade, make_camera
+
+    t0 = time.time()
+    scene = build_scene(colonnade(target_tris=args.target))
+    tris = scene.triangles()
+    lo, hi, valid, v0, e1, e2, tid = build_blocks(tris, args.block)
+    print(f"scene tris={len(tris)} blocks={len(lo)} "
+          f"(build {time.time()-t0:.1f}s)")
+
+    cam = make_camera("colonnade", args.width, args.height)
+    o, d = create_primary_rays(
+        cam, pixel_grid(args.width, args.height),
+        (args.width, args.height), 0)
+    o = np.asarray(o, np.float32).reshape(-1, 3)
+    d = np.asarray(d, np.float32).reshape(-1, 3)
+    og, dg = gangs_of(o, d, args.width, args.height)
+    n_gangs = og.shape[0]
+    sample = range(0, n_gangs, args.stride)
+    n_rays = args.width * args.height
+
+    workloads = []
+    if args.workload in ("primary", "all"):
+        workloads.append(("primary", og, dg, 0.0, 1e6, False))
+    if args.workload in ("shadow", "bounce", "all"):
+        # surface origins via per-ray brute closest on sampled gangs is
+        # expensive; approximate with random in-bounds origins (the
+        # profile_stream convention) — exact hit-point workloads need TPU
+        rng = np.random.default_rng(7)
+        blo, bhi = tris.reshape(-1, 3).min(0), tris.reshape(-1, 3).max(0)
+        ob = rng.uniform(blo, bhi, (n_rays, 3)).astype(np.float32)
+        if args.workload in ("bounce", "all"):
+            db = rng.normal(size=(n_rays, 3)).astype(np.float32)
+            db /= np.linalg.norm(db, axis=1, keepdims=True)
+            from capsaicin_tpu.ops.pallas_traverse import (
+                sort_rays_for_traversal,
+            )
+
+            order, _ = sort_rays_for_traversal(
+                ob, db, dead=np.zeros((n_rays,), bool))
+            order = np.asarray(order)
+            ob2, db2 = ob[order], db[order]
+            obg = ob2.reshape(-1, SUB, LANE, 3)
+            dbg = db2.reshape(-1, SUB, LANE, 3)
+            workloads.append(("bounce-sorted", obg, dbg, 1e-3, 1e6, False))
+        if args.workload in ("shadow", "all"):
+            ld = np.array([0.0, 100.0, 40.0], np.float32)
+            ld /= np.linalg.norm(ld)
+            dsh = np.broadcast_to(ld, (n_rays, 3)).copy()
+            osg = ob.reshape(-1, SUB, LANE, 3)
+            dsg = dsh.reshape(-1, SUB, LANE, 3)
+            workloads.append(("shadow-any", osg, dsg, 1e-4, 1e6, True))
+
+    for name, OG, DG, tmn, tmx, anyh in workloads:
+        for order in args.orders.split(","):
+            nf = order == "near"
+            t0 = time.time()
+            steps, popped = [], []
+            tm = np.full((SUB, LANE), tmn, np.float32)
+            tM = np.full((SUB, LANE), tmx, np.float32)
+            for g in sample:
+                s, p = sim_gang(lo, hi, valid, v0, e1, e2, tid,
+                                OG[g], DG[g], tm, tM, nf, anyh)
+                steps.append(s)
+                popped.append(p)
+            report(f"{name}/{order}/b{args.block}", steps, popped,
+                   OG.shape[0], n_rays, len(lo))
+            print(f"    (simulated {len(steps)} of {OG.shape[0]} gangs "
+                  f"in {time.time()-t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()
