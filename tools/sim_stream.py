@@ -120,16 +120,58 @@ def mt_block(o, d, v0, e1, e2, tid, tmin, cap):
 
 
 def sim_gang(lo, hi, valid, v0, e1, e2, tid, o, d, tmin, tmax,
-             near_first, any_hit=False):
+             near_first, any_hit=False, windows=()):
     """Returns (steps, popped_blocks) for one gang.
 
     Mirrors the kernel's double-buffered pipeline exactly: extraction of
     step k+1 happens BEFORE Moller-Trumbore of step k, so pruning sees a
-    t_best that lags the MT stream by one block."""
-    hit, tn = cull(lo, hi, valid, o, d, tmin, tmax)
+    t_best that lags the MT stream by one block.
+
+    `windows`: optional ascending interior band boundaries (w1, w2, ...)
+    for banded traversal — the gang walks band [0,w1) first with only the
+    blocks whose conservative entry falls in the band as candidates, rays
+    whose hit lands inside a completed band retire, survivors continue
+    into the next band with shrunken union bounds and t_best as a cap.
+    Exact: bands partition blocks by entry distance."""
+    bounds = list(windows) + [np.inf]
+    total_steps = 0
+    total_popped = 0
     t_best = tmax.copy()
-    decided = np.zeros((SUB, LANE), bool)  # any-hit: ray found an occluder
-    live = tmax >= tmin
+    decided = np.zeros((SUB, LANE), bool)
+    prim_found = np.zeros((SUB, LANE), bool)
+    live0 = tmax >= tmin
+    for bi, w_hi in enumerate(bounds):
+        w_lo = 0.0 if bi == 0 else bounds[bi - 1]
+        if any_hit:
+            und = live0 & ~decided
+        else:
+            und = live0 & (~prim_found | (t_best > w_lo))
+        if not und.any():
+            break
+        s_, p_, t_best, decided, prim_found = _sim_band(
+            lo, hi, valid, v0, e1, e2, tid, o, d, tmin, tmax,
+            near_first, any_hit, und, t_best, decided, prim_found,
+            w_lo, w_hi)
+        total_steps += s_
+        total_popped += p_
+    return total_steps, total_popped, t_best, decided
+
+
+def _sim_band(lo, hi, valid, v0, e1, e2, tid, o, d, tmin, tmax,
+              near_first, any_hit, und, t_best, decided, prim_found,
+              w_lo, w_hi):
+    """One distance band of sim_gang (w_lo inclusive, w_hi exclusive on
+    block entry distances; und = rays still undecided entering the band)."""
+    band_tmax = np.where(und, np.minimum(t_best, tmax), -1.0).astype(
+        np.float32)
+    hit, tn = cull(lo, hi, valid, o, d,
+                   np.maximum(tmin, max(w_lo, 0.0)).astype(np.float32),
+                   band_tmax)
+    # candidate filter: band 0 starts at -inf (origin-containing boxes
+    # have negative conservative entries); later bands partition by entry
+    flo = -np.inf if w_lo == 0.0 else w_lo
+    hit = hit & (tn >= flo) & (tn < w_hi)
+    live = und
     cand = [set(np.nonzero(hit[s])[0].tolist()) for s in range(SUB)]
 
     def pop_all():
@@ -170,10 +212,11 @@ def sim_gang(lo, hi, valid, v0, e1, e2, tid, o, d, tmin, tmax,
                 decided[s] |= tb < INF
             else:
                 t_best[s] = np.minimum(t_best[s], tb)
+                prim_found[s] |= tb < INF
         popped += sum(b is not None for b in nxt)
         prev = nxt
         steps += 1
-    return steps, popped
+    return steps, popped, t_best, decided, prim_found
 
 
 def gangs_of(o, d, width, height):
@@ -276,8 +319,19 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--workload", default="primary",
-                    choices=("primary", "shadow", "bounce", "all"))
+                    choices=("primary", "shadow", "bounce", "all",
+                             "real-bounce", "real-shadow", "real-all"))
     ap.add_argument("--orders", default="near,index")
+    ap.add_argument("--dirbins", type=int, default=0,
+                    help="bounce sort: 6*N^2 direction bins instead of the "
+                         "production octant sort (0 = production sort)")
+    ap.add_argument("--windows", default="",
+                    help="banded traversal: comma-separated interior band "
+                         "boundaries as fractions of the scene bbox "
+                         "diagonal (e.g. 0.02,0.08,0.3)")
+    ap.add_argument("--check", action="store_true",
+                    help="assert banded results equal unbanded per gang")
+    ap.add_argument("--hits-cache", default="/tmp/sim_stream_hits.npz")
     args = ap.parse_args()
 
     from capsaicin_tpu.ops.camera import create_primary_rays, pixel_grid
@@ -333,23 +387,88 @@ def main():
             osg = ob.reshape(-1, SUB, LANE, 3)
             dsg = dsh.reshape(-1, SUB, LANE, 3)
             workloads.append(("shadow-any", osg, dsg, 1e-4, 1e6, True))
+    if args.workload.startswith("real"):
+        # REAL per-pass workloads: exact primary hit points via the jnp BVH
+        # oracle, then (a) cosine-hemisphere bounce rays sorted exactly as
+        # the production pipeline sorts them, (b) NEE shadow rays toward the
+        # frame-0 directional light in pixel-block order, dead-masked at
+        # primary misses. This is the workload the full colonnade config
+        # actually traces, unlike the uniform-random approximation above.
+        from capsaicin_tpu.ops import sampling
+        import jax.numpy as jnp
+
+        hits = trace_primary_hits(tris, o, d, args.hits_cache)
+        p, gn, hitm = hit_geometry(tris, o, d, hits)
+        dead = ~hitm
+        print(f"primary hit rate {hitm.mean():.3f}")
+        if args.workload in ("real-bounce", "real-all"):
+            rng = np.random.default_rng(11)
+            s2 = rng.uniform(0, 1, (n_rays, 2)).astype(np.float32)
+            db = np.asarray(sampling.map_to_hemisphere(
+                jnp.asarray(s2), jnp.asarray(gn), 1.0), np.float32)
+            if args.dirbins:
+                order = sort_dirbins(p, db, dead, args.dirbins)
+            else:
+                from capsaicin_tpu.ops.pallas_traverse import (
+                    sort_rays_for_traversal,
+                )
+
+                order = np.asarray(
+                    sort_rays_for_traversal(
+                        jnp.asarray(p), jnp.asarray(db),
+                        dead=jnp.asarray(dead))[0])
+            ob2, db2, dd2 = p[order], db[order], dead[order]
+            tmx = np.where(dd2, -1.0, 1e6).astype(np.float32)
+            tag = f"real-bounce/dirbins{args.dirbins}" if args.dirbins \
+                else "real-bounce"
+            workloads.append((tag,
+                              ob2.reshape(-1, SUB, LANE, 3),
+                              db2.reshape(-1, SUB, LANE, 3),
+                              np.full_like(tmx, 1e-3).reshape(-1, SUB, LANE),
+                              tmx.reshape(-1, SUB, LANE), False))
+        if args.workload in ("real-shadow", "real-all"):
+            ld = np.array([0.0, 100.0, 40.0], np.float32)
+            ld /= np.linalg.norm(ld)
+            dsh = np.broadcast_to(ld, (n_rays, 3)).astype(np.float32)
+            tmx = np.where(dead, -1.0, 1e6).astype(np.float32)
+            og2, dg2 = gangs_of(p, dsh, args.width, args.height)
+            workloads.append(("real-shadow", og2, dg2,
+                              gangs_of_scalar(np.full_like(tmx, 1e-4),
+                                              args.width, args.height),
+                              gangs_of_scalar(tmx, args.width, args.height),
+                              True))
+
+    diag = float(np.linalg.norm(
+        tris.reshape(-1, 3).max(0) - tris.reshape(-1, 3).min(0)))
+    windows = tuple(float(w) * diag for w in args.windows.split(",")
+                    if w.strip())
+    wtag = f"/w{args.windows}" if windows else ""
 
     for name, OG, DG, tmn, tmx, anyh in workloads:
         for order in args.orders.split(","):
             nf = order == "near"
             t0 = time.time()
             steps, popped = [], []
-            tm = np.full((SUB, LANE), tmn, np.float32)
-            tM = np.full((SUB, LANE), tmx, np.float32)
             for g in sample:
-                s, p = sim_gang(lo, hi, valid, v0, e1, e2, tid,
-                                OG[g], DG[g], tm, tM, nf, anyh)
+                tm = (np.full((SUB, LANE), tmn, np.float32)
+                      if np.isscalar(tmn) else tmn[g])
+                tM = (np.full((SUB, LANE), tmx, np.float32)
+                      if np.isscalar(tmx) else tmx[g])
+                s, p_, tb, dec = sim_gang(lo, hi, valid, v0, e1, e2, tid,
+                                          OG[g], DG[g], tm, tM, nf, anyh,
+                                          windows=windows)
+                if args.check and windows:
+                    _, _, tb0, dec0 = sim_gang(
+                        lo, hi, valid, v0, e1, e2, tid,
+                        OG[g], DG[g], tm, tM, nf, anyh)
+                    assert np.array_equal(dec, dec0), f"any-hit mismatch g{g}"
+                    assert np.array_equal(tb, tb0), f"t_best mismatch g{g}"
                 steps.append(s)
-                popped.append(p)
-            report(f"{name}/{order}/b{args.block}", steps, popped,
+                popped.append(p_)
+            report(f"{name}/{order}/b{args.block}{wtag}", steps, popped,
                    OG.shape[0], n_rays, len(lo))
             print(f"    (simulated {len(steps)} of {OG.shape[0]} gangs "
-                  f"in {time.time()-t0:.1f}s)")
+                  f"in {time.time()-t0:.1f}s)", flush=True)
 
 
 if __name__ == "__main__":
