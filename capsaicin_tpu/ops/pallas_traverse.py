@@ -552,22 +552,43 @@ def bvh_any(packed, origins, dirs, tmin=1e-4, tmax=1e6):
     return (_untile(prim, n) >= 0) & alive
 
 
-def sort_rays_for_traversal(origins, dirs, dead=None):
+def sort_rays_for_traversal(origins, dirs, dead=None, dir_grid: int = 0):
     """Morton-ish coherence sort key for bounce rays: quantized direction
-    octant + origin morton. `dead` lanes (masked-off rays, tmax < tmin)
+    bin + origin morton. `dead` lanes (masked-off rays, tmax < tmin)
     sort LAST so they fill whole packets that retire in ~2 node steps
-    instead of polluting live packets. Returns (order, inverse_order)."""
+    instead of polluting live packets. Returns (order, inverse_order).
+
+    dir_grid=0 (default): 8 direction octants, the packet-kernel sweet
+    spot. dir_grid=N: 6*N^2 bins (major-axis face x NxN face cells) — the
+    finer angular grouping the stream kernel's per-128-ray interval cull
+    needs on dense scenes (sim_stream.py: 96 bins halve incoherent-ray
+    candidate pops vs octants; 384 bins over-split and lose position
+    coherence)."""
     from .lbvh import morton_codes
 
     lo = jnp.min(origins, axis=0)
     hi = jnp.max(origins, axis=0)
     om = morton_codes(origins, lo, hi)
-    oct_key = (
-        (dirs[:, 0] > 0).astype(jnp.uint32) * 4
-        + (dirs[:, 1] > 0).astype(jnp.uint32) * 2
-        + (dirs[:, 2] > 0).astype(jnp.uint32)
-    )
-    key = (oct_key << 28) | (om >> 4)
+    if dir_grid:
+        g = dir_grid
+        ax = jnp.argmax(jnp.abs(dirs), axis=1)
+        m = jnp.take_along_axis(dirs, ax[:, None], 1)[:, 0]
+        am = jnp.maximum(jnp.abs(m), 1e-12)
+        u = jnp.take_along_axis(dirs, ((ax + 1) % 3)[:, None], 1)[:, 0] / am
+        v = jnp.take_along_axis(dirs, ((ax + 2) % 3)[:, None], 1)[:, 0] / am
+        face = ax.astype(jnp.uint32) * 2 + (m > 0).astype(jnp.uint32)
+        qa = jnp.clip((u + 1.0) * 0.5 * g, 0, g - 1).astype(jnp.uint32)
+        qb = jnp.clip((v + 1.0) * 0.5 * g, 0, g - 1).astype(jnp.uint32)
+        dbin = (face * g + qa) * g + qb  # < 6*g^2
+        bits = max(int(6 * g * g - 1).bit_length(), 3)
+        key = (dbin << (31 - bits)) | (om >> (bits + 1))
+    else:
+        oct_key = (
+            (dirs[:, 0] > 0).astype(jnp.uint32) * 4
+            + (dirs[:, 1] > 0).astype(jnp.uint32) * 2
+            + (dirs[:, 2] > 0).astype(jnp.uint32)
+        )
+        key = (oct_key << 28) | (om >> 4)
     if dead is not None:
         key = key | (dead.astype(jnp.uint32) << 31)
     order = jnp.argsort(key)

@@ -144,6 +144,79 @@ def _safe_inv(d):
                      1.0 / jnp.where(tiny, 1.0, d))
 
 
+def _unpack_rays(rays_ref):
+    """rays_ref [1, 8, SUB, LANE] -> per-field [SUB, LANE] arrays."""
+    return (rays_ref[0, 0], rays_ref[0, 1], rays_ref[0, 2], rays_ref[0, 3],
+            rays_ref[0, 4], rays_ref[0, 5], rays_ref[0, 6], rays_ref[0, 7])
+
+
+def _sub_packet_bounds(live, ox, oy, oz, dx, dy, dz, tmin, tmax):
+    """Conservative per-sub-packet interval bounds over live lanes."""
+    big = jnp.float32(INF)
+
+    def lo_of(x):
+        return jnp.min(jnp.where(live, x, big), axis=1, keepdims=True)
+
+    def hi_of(x):
+        return jnp.max(jnp.where(live, x, -big), axis=1, keepdims=True)
+
+    o_lo = (lo_of(ox), lo_of(oy), lo_of(oz))  # [8,1] each
+    o_hi = (hi_of(ox), hi_of(oy), hi_of(oz))
+    inv = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
+    i_lo = tuple(lo_of(c) for c in inv)
+    i_hi = tuple(hi_of(c) for c in inv)
+    tmin_lo = lo_of(tmin)
+    tcap0 = hi_of(tmax)
+    any_live = jnp.any(live, axis=1, keepdims=True)
+    return o_lo, o_hi, i_lo, i_hi, tmin_lo, tcap0, any_live
+
+
+def _slab(boxes_ref, lane_lo, lane_hi, bnds):
+    """Interval slab test of boxes in lanes [lane_lo, lane_hi) vs each
+    sub-packet's conservative ray bounds -> (tn conservative entry, hit)."""
+    o_lo, o_hi, i_lo, i_hi, tmin_lo, tcap0, any_live = bnds
+    tn = None
+    tf = None
+    for ax in range(3):
+        blo = boxes_ref[ax : ax + 1, lane_lo:lane_hi]
+        bhi = boxes_ref[ax + 3 : ax + 4, lane_lo:lane_hi]
+        a0l = blo - o_hi[ax]              # [8, W] interval endpoints
+        a0h = blo - o_lo[ax]
+        a1l = bhi - o_hi[ax]
+        a1h = bhi - o_lo[ax]
+
+        def prods(al, ah, il=i_lo[ax], ih=i_hi[ax]):
+            p1 = al * il
+            p2 = al * ih
+            p3 = ah * il
+            p4 = ah * ih
+            return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                    jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+        l0, h0 = prods(a0l, a0h)
+        l1, h1 = prods(a1l, a1h)
+        alo = jnp.minimum(l0, l1)
+        ahi = jnp.maximum(h0, h1)
+        tn = alo if tn is None else jnp.maximum(tn, alo)
+        tf = ahi if tf is None else jnp.minimum(tf, ahi)
+    hit = (
+        (tn <= tf) & (tf >= tmin_lo) & (tn <= tcap0)
+        & (boxes_ref[6:7, lane_lo:lane_hi] > 0) & any_live
+    )
+    return tn, hit
+
+
+def _count_kernel(rays_ref, boxes_ref, n_out):
+    """Per-sub-packet candidate-count pass: one cull, popcount per row.
+    Output [1, SUB, LANE] with the count broadcast across lanes."""
+    ox, oy, oz, dx, dy, dz, tmin, tmax = _unpack_rays(rays_ref)
+    live = tmax >= tmin
+    bnds = _sub_packet_bounds(live, ox, oy, oz, dx, dy, dz, tmin, tmax)
+    _, hit = _slab(boxes_ref, 0, boxes_ref.shape[1], bnds)
+    n_out[0] = jnp.broadcast_to(
+        jnp.sum(hit.astype(jnp.float32), axis=1, keepdims=True), (SUB, LANE))
+
+
 def _stream_kernel(
     n_blocks, rows, any_hit, near_first, hier,
     rays_ref, boxes_ref, tris_hbm,
@@ -165,14 +238,7 @@ def _stream_kernel(
           at colonnade scale (Bp=8192) while popping in the exact same
           nearest-first (tnear, block-id) order.
     """
-    ox = rays_ref[0, 0]
-    oy = rays_ref[0, 1]
-    oz = rays_ref[0, 2]
-    dx = rays_ref[0, 3]
-    dy = rays_ref[0, 4]
-    dz = rays_ref[0, 5]
-    tmin = rays_ref[0, 6]
-    tmax = rays_ref[0, 7]
+    ox, oy, oz, dx, dy, dz, tmin, tmax = _unpack_rays(rays_ref)
     live = tmax >= tmin  # [8, 128]
     big = jnp.float32(INF)
 
@@ -187,54 +253,10 @@ def _stream_kernel(
         p_out[0, 0] = jnp.full((SUB, LANE), -1, jnp.int32)
 
     # ---- cull: every sub-packet vs every block box, one vector pass ----
-    def lo_of(x):
-        return jnp.min(jnp.where(live, x, big), axis=1, keepdims=True)
-
-    def hi_of(x):
-        return jnp.max(jnp.where(live, x, -big), axis=1, keepdims=True)
-
-    o_lo = (lo_of(ox), lo_of(oy), lo_of(oz))  # [8,1] each
-    o_hi = (hi_of(ox), hi_of(oy), hi_of(oz))
-    inv = (_safe_inv(dx), _safe_inv(dy), _safe_inv(dz))
-    i_lo = tuple(lo_of(c) for c in inv)
-    i_hi = tuple(hi_of(c) for c in inv)
-    tmin_lo = lo_of(tmin)
-    tcap0 = hi_of(tmax)
-    any_live = jnp.any(live, axis=1, keepdims=True)
+    bnds = _sub_packet_bounds(live, ox, oy, oz, dx, dy, dz, tmin, tmax)
 
     def slab(lane_lo, lane_hi):
-        """Interval slab test of every box in lanes [lane_lo, lane_hi) vs
-        each sub-packet's conservative ray bounds -> (pend, hit) where pend
-        is the conservative entry distance (+INF for culled boxes)."""
-        tn = None
-        tf = None
-        for ax in range(3):
-            blo = boxes_ref[ax : ax + 1, lane_lo:lane_hi]
-            bhi = boxes_ref[ax + 3 : ax + 4, lane_lo:lane_hi]
-            a0l = blo - o_hi[ax]              # [8, W] interval endpoints
-            a0h = blo - o_lo[ax]
-            a1l = bhi - o_hi[ax]
-            a1h = bhi - o_lo[ax]
-
-            def prods(al, ah, il=i_lo[ax], ih=i_hi[ax]):
-                p1 = al * il
-                p2 = al * ih
-                p3 = ah * il
-                p4 = ah * ih
-                return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
-                        jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
-
-            l0, h0 = prods(a0l, a0h)
-            l1, h1 = prods(a1l, a1h)
-            alo = jnp.minimum(l0, l1)
-            ahi = jnp.maximum(h0, h1)
-            tn = alo if tn is None else jnp.maximum(tn, alo)
-            tf = ahi if tf is None else jnp.minimum(tf, ahi)
-        hit = (
-            (tn <= tf) & (tf >= tmin_lo) & (tn <= tcap0)
-            & (boxes_ref[6:7, lane_lo:lane_hi] > 0) & any_live
-        )
-        return tn, hit
+        return _slab(boxes_ref, lane_lo, lane_hi, bnds)
 
     if hier:
         n_grp = boxes_ref.shape[1] // LANE
@@ -460,15 +482,63 @@ def _run(sbvh: StreamBVH, rays_tiled, any_hit: bool, near_first: bool = True,
     return t, u, v, prim
 
 
+def _count_candidates(sbvh: StreamBVH, rays_tiled):
+    """Candidate-count pre-pass: one interval cull per gang, returning the
+    per-sub-packet candidate block count [np_*SUB] (float32)."""
+    np_ = rays_tiled.shape[0]
+    out = pl.pallas_call(
+        _count_kernel,
+        grid=(np_,),
+        in_specs=[
+            pl.BlockSpec((1, 8, SUB, LANE), lambda p: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sbvh.boxes.shape, lambda p: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, SUB, LANE), lambda p: (p, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((np_, SUB, LANE), jnp.float32),
+        interpret=_use_interpret(),
+    )(rays_tiled, sbvh.boxes)
+    return out[:, :, 0].reshape(-1)
+
+
+def _balance(rays_tiled, counts):
+    """Repack sub-packets into gangs by DESCENDING candidate count so each
+    gang's 8 sublanes carry near-equal work. The stream loop runs until the
+    slowest sub-packet of a gang empties, so heterogeneous gangs waste
+    sublane-steps; grouping similar loads together converts that idle into
+    speed (sim_stream.py: real bounce 1931 -> 809 steps/gang, ~100% sublane
+    efficiency). NOTE: similar loads must share a gang — round-robin
+    spreading of heavy sub-packets measured 1.5x WORSE than no balancing.
+    Returns (balanced rays_tiled, inverse sub-packet permutation)."""
+    np_ = rays_tiled.shape[0]
+    rank = jnp.argsort(-counts)
+    rt = rays_tiled.transpose(0, 2, 1, 3).reshape(np_ * SUB, 8, LANE)
+    rt = rt[rank].reshape(np_, SUB, 8, LANE).transpose(0, 2, 1, 3)
+    return rt, jnp.argsort(rank)
+
+
+def _unbalance(x, inv):
+    """Undo _balance on a [np_, 1, SUB, LANE] kernel output."""
+    np_ = x.shape[0]
+    return x.reshape(np_ * SUB, LANE)[inv].reshape(np_, 1, SUB, LANE)
+
+
 def _untile(x, n):
     return x.reshape(-1)[:n]
 
 
 def stream_closest(sbvh: StreamBVH, origins, dirs, tmin=0.0, tmax=1e6,
-                   near_first: bool = True, hier: bool = True):
+                   near_first: bool = True, hier: bool = True,
+                   balance: bool = False):
     rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
+    if balance:
+        rays, inv = _balance(rays, _count_candidates(sbvh, rays))
     t, u, v, prim = _run(sbvh, rays, any_hit=False, near_first=near_first,
                          hier=hier)
+    if balance:
+        t, u, v, prim = (_unbalance(x, inv) for x in (t, u, v, prim))
     prim = _untile(prim, n)
     return {
         "t": jnp.where(prim < 0, jnp.float32(INF), _untile(t, n)),
@@ -479,10 +549,15 @@ def stream_closest(sbvh: StreamBVH, origins, dirs, tmin=0.0, tmax=1e6,
 
 
 def stream_any(sbvh: StreamBVH, origins, dirs, tmin=1e-4, tmax=1e6,
-               near_first: bool = True, hier: bool = True):
+               near_first: bool = True, hier: bool = True,
+               balance: bool = False):
     rays, n = pack_rays_tiled(origins, dirs, tmin, tmax)
+    if balance:
+        rays, inv = _balance(rays, _count_candidates(sbvh, rays))
     t, u, v, prim = _run(sbvh, rays, any_hit=True, near_first=near_first,
                          hier=hier)
+    if balance:
+        prim = _unbalance(prim, inv)
     # dead lanes latch prim=0 in-kernel for the retirement check; normalize
     alive = jnp.broadcast_to(
         jnp.asarray(tmax, jnp.float32), origins.shape[:1]

@@ -286,7 +286,14 @@ class RenderSession:
             """(closest, any, bounce, bounce_any) single-chip trace fns."""
             closest, any_hit = make_traversal(scene, mode, bvh)
             bounce = bounce_any = None
-            if mode in ("bvh", "wavefront", "stream") and options.sort_bounce_rays:
+            if mode == "stream" and options.sort_bounce_rays:
+                # incoherent bounce rays get finer direction binning and
+                # the candidate-count load-balance pre-pass (each is ~2x on
+                # dense scenes; see ops/stream._balance and PERF.md)
+                from .traversal import make_stream_bounce_fns
+
+                bounce, bounce_any = make_stream_bounce_fns(bvh)
+            elif mode in ("bvh", "wavefront") and options.sort_bounce_rays:
                 from .traversal import with_ray_sorting, with_ray_sorting_any
 
                 bounce = with_ray_sorting(closest)

@@ -184,6 +184,25 @@ def make_traversal(scene, mode: str, bvh=None):
     raise ValueError(f"unknown traversal mode {mode!r}")
 
 
+def make_stream_bounce_fns(sbvh):
+    """Bounce-ray trace fns for the DMA-streaming backend: finer 96-bin
+    direction sorting (dir_grid=4) plus the candidate-count load-balance
+    pre-pass — the two measured levers for incoherent rays on dense scenes
+    (sim_stream.py: 1931 -> 809 steps/gang on real colonnade bounce)."""
+    from ..ops import stream
+
+    def closest(origins, dirs, tmin, tmax):
+        return stream.stream_closest(sbvh, origins, dirs, tmin, tmax,
+                                     balance=True)
+
+    def any_hit(origins, dirs, tmin, tmax):
+        return stream.stream_any(sbvh, origins, dirs, tmin, tmax,
+                                 balance=True)
+
+    return (with_ray_sorting(closest, dir_grid=4),
+            with_ray_sorting_any(any_hit, dir_grid=4))
+
+
 def make_bounce_fns(bvh):
     """Incoherent-ray (diffuse bounce) trace functions for the dense-cull
     backend: per-ray slab tests instead of packet interval tests (the only
@@ -201,12 +220,14 @@ def make_bounce_fns(bvh):
     return with_ray_sorting(closest), with_ray_sorting_any(any_hit)
 
 
-def with_ray_sorting(closest_fn):
-    """Wrap a closest-hit function with morton/direction-octant ray sorting.
+def with_ray_sorting(closest_fn, dir_grid: int = 0):
+    """Wrap a closest-hit function with morton/direction-binned ray sorting.
 
     Incoherent bounce rays make packet traversal visit near-union node sets;
     sorting restores locality (the classic wavefront ray-reordering move,
-    PAPERS.md). Results are scattered back to original ray order."""
+    PAPERS.md). Results are scattered back to original ray order.
+    `dir_grid`: 0 = octant bins (packet-kernel sweet spot); N = 6*N^2
+    face-grid bins (the stream kernel's interval cull wants ~96)."""
     import jax.numpy as jnp
 
     from ..ops.pallas_traverse import sort_rays_for_traversal
@@ -216,7 +237,7 @@ def with_ray_sorting(closest_fn):
             jnp.asarray(tmax, jnp.float32), origins.shape[:1]
         )
         order, inverse = sort_rays_for_traversal(
-            origins, dirs, dead=tmax_arr < tmin
+            origins, dirs, dead=tmax_arr < tmin, dir_grid=dir_grid
         )
         # pack all permuted quantities so each direction costs ONE gather
         # (gather cost is per-index, not per-byte, on TPU): 3 input gathers
@@ -244,7 +265,7 @@ def with_ray_sorting(closest_fn):
     return sorted_closest
 
 
-def with_ray_sorting_any(any_fn):
+def with_ray_sorting_any(any_fn, dir_grid: int = 0):
     """Sorting wrapper for any-hit queries (bounce NEE shadow rays have
     scattered origins; sorting by origin morton keeps packets compact)."""
     from ..ops.pallas_traverse import sort_rays_for_traversal
@@ -254,7 +275,7 @@ def with_ray_sorting_any(any_fn):
             jnp.asarray(tmax, jnp.float32), origins.shape[:1]
         )
         order, inverse = sort_rays_for_traversal(
-            origins, dirs, dead=tmax_arr < tmin
+            origins, dirs, dead=tmax_arr < tmin, dir_grid=dir_grid
         )
         # one input gather instead of three (see with_ray_sorting)
         packed = jnp.concatenate(

@@ -129,6 +129,43 @@ def test_stream_hier_equals_flat(rng):
         np.asarray(stream.stream_any(sbvh, o, d, hier=False)))
 
 
+def test_stream_balance_equals_unbalanced(rng):
+    """The candidate-count load-balance pre-pass permutes whole sub-packets
+    into equal-work gangs; sub-packets are independent in the kernel, so
+    results must be bit-identical, including dead lanes."""
+    scene = build_scene(colonnade(target_tris=4000))
+    tris = jnp.asarray(scene.triangles())
+    o, d = _rays(rng, 8 * 1024 + 200, spread=5.0)  # several gangs + partial
+    n = o.shape[0]
+    tmax = jnp.where(jnp.arange(n) % 9 == 0, -1.0, 1e6)
+    sbvh = stream.build_stream_bvh(tris)
+    a = stream.stream_closest(sbvh, o, d, 0.0, tmax, balance=True)
+    b = stream.stream_closest(sbvh, o, d, 0.0, tmax, balance=False)
+    for k in ("t", "u", "v", "prim"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+    np.testing.assert_array_equal(
+        np.asarray(stream.stream_any(sbvh, o, d, 1e-4, tmax, balance=True)),
+        np.asarray(stream.stream_any(sbvh, o, d, 1e-4, tmax, balance=False)))
+
+
+def test_stream_session_bounce_balanced_frame():
+    """Full session frame in stream mode (bounce fns use dir_grid sorting +
+    balancing) equals the bvh-backend frame."""
+    from capsaicin_tpu.render import RenderOptions, RenderSession
+    from capsaicin_tpu.scene.procedural import make_camera
+
+    scene = build_scene(colonnade(target_tris=3000))
+    opts = RenderOptions(taa=False, eaw5=False, num_diffuse_bounces=2)
+    imgs = {}
+    for mode in ("stream", "bvh"):
+        s = RenderSession(width=32, height=32, options=opts, traversal=mode)
+        s.set_camera(make_camera("colonnade", 32, 32))
+        s.set_scene(scene)
+        imgs[mode] = s.render()
+    assert np.all(np.isfinite(imgs["stream"]))
+    np.testing.assert_allclose(imgs["stream"], imgs["bvh"], atol=2e-5)
+
+
 def test_stream_tiny_scene(rng):
     tris = jnp.asarray(rng.normal(size=(5, 3, 3)).astype(np.float32))
     o, d = _rays(rng, 130)
