@@ -186,9 +186,12 @@ def make_traversal(scene, mode: str, bvh=None):
 
 def make_stream_bounce_fns(sbvh):
     """Bounce-ray trace fns for the DMA-streaming backend: finer 96-bin
-    direction sorting (dir_grid=4) plus the candidate-count load-balance
-    pre-pass — the two measured levers for incoherent rays on dense scenes
-    (sim_stream.py: 1931 -> 809 steps/gang on real colonnade bounce)."""
+    direction sorting (dir_grid=4) plus, for the CLOSEST-hit trace only,
+    the candidate-count load-balance pre-pass — the two measured levers
+    for incoherent rays on dense scenes (sim_stream.py: 1931 -> 809
+    steps/gang on real colonnade bounce). Any-hit NEE shadows are NOT
+    balanced: candidate count is a bad load proxy when rays retire at
+    the first occluder (measured 47 -> 71 steps/gang WITH balancing)."""
     from ..ops import stream
 
     def closest(origins, dirs, tmin, tmax):
@@ -196,8 +199,7 @@ def make_stream_bounce_fns(sbvh):
                                      balance=True)
 
     def any_hit(origins, dirs, tmin, tmax):
-        return stream.stream_any(sbvh, origins, dirs, tmin, tmax,
-                                 balance=True)
+        return stream.stream_any(sbvh, origins, dirs, tmin, tmax)
 
     return (with_ray_sorting(closest, dir_grid=4),
             with_ray_sorting_any(any_hit, dir_grid=4))
