@@ -124,11 +124,11 @@ def colonnade_profile(width, height, target, block_tris_list=(32, 64)):
         results[f"{key}_primary"] = dt
         print(f"[{key}] primary closest {dt*1e3:.1f} ms "
               f"({n/dt/1e6:.1f} Mrays/s)")
-        closest_ix = jax.jit(lambda o, d, sb=sb: stream.stream_closest(
-            sb, o, d, 0.0, 1e6, near_first=False))
-        dt = t_cycle(closest_ix, ray_sets(o, d))
-        results[f"{key}_primary_ixorder"] = dt
-        print(f"[{key}] primary ix-order {dt*1e3:.1f} ms "
+        closest_flat = jax.jit(lambda o, d, sb=sb: stream.stream_closest(
+            sb, o, d, 0.0, 1e6, hier=False))
+        dt = t_cycle(closest_flat, ray_sets(o, d))
+        results[f"{key}_primary_flat"] = dt
+        print(f"[{key}] primary flat-extract {dt*1e3:.1f} ms "
               f"({n/dt/1e6:.1f} Mrays/s)")
         dt = t_cycle(anyf, ray_sets(o, d))
         results[f"{key}_any"] = dt
@@ -137,6 +137,15 @@ def colonnade_profile(width, height, target, block_tris_list=(32, 64)):
         dt = t_cycle(lambda oo, dd: sort_c(oo, dd, 0.0, 1e6), ray_sets(ob, db))
         results[f"{key}_bounce_sorted"] = dt
         print(f"[{key}] bounce sorted {dt*1e3:.1f} ms "
+              f"({n/dt/1e6:.1f} Mrays/s)")
+        # the production bounce path: 96-bin direction sort + count-balance
+        from capsaicin_tpu.render.traversal import make_stream_bounce_fns
+
+        bc, _ = make_stream_bounce_fns(sb)
+        bc = jax.jit(bc)
+        dt = t_cycle(lambda oo, dd: bc(oo, dd, 1e-3, 1e6), ray_sets(ob, db))
+        results[f"{key}_bounce_balanced"] = dt
+        print(f"[{key}] bounce dirbins4+balance {dt*1e3:.1f} ms "
               f"({n/dt/1e6:.1f} Mrays/s)")
 
     # packet-BVH baseline

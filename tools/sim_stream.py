@@ -62,8 +62,8 @@ def safe_inv(d):
 
 def cull(lo, hi, valid, o, d, tmin, tmax):
     """Mirror of the kernel's per-sub-packet interval cull.
-    o,d [SUB,LANE,3]; returns hit [SUB,B] bool, tn [SUB,B]."""
-    live = tmax >= tmin  # [SUB,LANE]
+    o,d [S,K,3] (S sub-packets of K rays); returns hit [S,B], tn [S,B]."""
+    live = tmax >= tmin  # [S,K]
     big = np.float32(INF)
     inv = safe_inv(d)
 
@@ -137,8 +137,8 @@ def sim_gang(lo, hi, valid, v0, e1, e2, tid, o, d, tmin, tmax,
     total_steps = 0
     total_popped = 0
     t_best = tmax.copy()
-    decided = np.zeros((SUB, LANE), bool)
-    prim_found = np.zeros((SUB, LANE), bool)
+    decided = np.zeros(tmax.shape, bool)
+    prim_found = np.zeros(tmax.shape, bool)
     live0 = tmax >= tmin
     for bi, w_hi in enumerate(bounds):
         w_lo = 0.0 if bi == 0 else bounds[bi - 1]
@@ -172,11 +172,12 @@ def _sim_band(lo, hi, valid, v0, e1, e2, tid, o, d, tmin, tmax,
     flo = -np.inf if w_lo == 0.0 else w_lo
     hit = hit & (tn >= flo) & (tn < w_hi)
     live = und
-    cand = [set(np.nonzero(hit[s])[0].tolist()) for s in range(SUB)]
+    n_sub = o.shape[0]
+    cand = [set(np.nonzero(hit[s])[0].tolist()) for s in range(n_sub)]
 
     def pop_all():
-        out = [None] * SUB
-        for s in range(SUB):
+        out = [None] * n_sub
+        for s in range(n_sub):
             if not cand[s]:
                 continue
             if any_hit:
@@ -232,7 +233,7 @@ def gangs_of_scalar(x, width, height):
             .swapaxes(1, 2).reshape(-1, SUB, LANE))
 
 
-def trace_primary_hits(tris, o, d, cache_path, chunk=131072):
+def trace_primary_hits(tris, o, d, cache_path, chunk=131072, tmin=0.0):
     """Exact closest hits for the real-workload sims via the jnp BVH
     oracle (chunked; CPU jax). Cached to disk — the trace costs minutes."""
     if cache_path and os.path.exists(cache_path):
@@ -245,7 +246,7 @@ def trace_primary_hits(tris, o, d, cache_path, chunk=131072):
     from capsaicin_tpu.ops import lbvh, traverse
 
     bvh = lbvh.build_lbvh(jnp.asarray(tris))
-    f = jax.jit(lambda oo, dd: traverse.bvh_closest(bvh, oo, dd, 0.0, 1e6))
+    f = jax.jit(lambda oo, dd: traverse.bvh_closest(bvh, oo, dd, tmin, 1e6))
     ts, ps = [], []
     for i in range(0, len(o), chunk):
         r = f(jnp.asarray(o[i : i + chunk]), jnp.asarray(d[i : i + chunk]))
@@ -269,6 +270,36 @@ def hit_geometry(tris, o, d, hits):
     gn = np.where((gn * d).sum(-1, keepdims=True) > 0, -gn, gn)
     p = o + d * np.where(hitm, hits["t"], 0.0)[:, None]
     return p.astype(np.float32), gn.astype(np.float32), hitm
+
+
+def sort_6d(o, d, dead, pbits=8, dbits=3):
+    """6D ray-binning sort: position morton with octahedral-direction bits
+    interleaved at the COARSE levels — balances origin spread against
+    direction spread per 128-ray sub-packet instead of committing to one
+    (octant sort = all direction first; pure morton = all position)."""
+    lo_, hi_ = o.min(0), o.max(0)
+    q = ((o - lo_) / np.maximum(hi_ - lo_, 1e-9)
+         * (2 ** pbits - 1)).astype(np.uint64)
+    ad = np.maximum(np.abs(d).sum(1), 1e-12)
+    u = d[:, 0] / ad
+    v = d[:, 1] / ad
+    uu = np.where(d[:, 2] >= 0, u, (1 - np.abs(v)) * np.sign(u))
+    vv = np.where(d[:, 2] >= 0, v, (1 - np.abs(u)) * np.sign(v))
+    qd = np.stack([(uu + 1) * 0.5, (vv + 1) * 0.5], 1)
+    qd = np.clip((qd * (2 ** dbits - 1)).round(), 0,
+                 2 ** dbits - 1).astype(np.uint64)
+    key = np.zeros(len(o), np.uint64)
+    for lv in range(pbits - 1, -1, -1):  # MSB first
+        for c in range(3):
+            key = (key << np.uint64(1)) | ((q[:, c] >> np.uint64(lv))
+                                           & np.uint64(1))
+        if lv >= pbits - dbits:
+            dl = np.uint64(lv - (pbits - dbits))
+            for c in range(2):
+                key = (key << np.uint64(1)) | ((qd[:, c] >> dl)
+                                               & np.uint64(1))
+    key |= dead.astype(np.uint64) << np.uint64(62)
+    return np.argsort(key, kind="stable")
 
 
 def sort_dirbins(o, d, dead, grid):
@@ -320,7 +351,8 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--workload", default="primary",
                     choices=("primary", "shadow", "bounce", "all",
-                             "real-bounce", "real-shadow", "real-all"))
+                             "real-bounce", "real-shadow", "real-all",
+                             "real-bounce-exact", "real-nee"))
     ap.add_argument("--orders", default="near,index")
     ap.add_argument("--dirbins", type=int, default=0,
                     help="bounce sort: 6*N^2 direction bins instead of the "
@@ -331,6 +363,16 @@ def main():
                          "diagonal (e.g. 0.02,0.08,0.3)")
     ap.add_argument("--check", action="store_true",
                     help="assert banded results equal unbanded per gang")
+    ap.add_argument("--subrays", type=int, default=LANE,
+                    help="rays per cull sub-packet (default 128 = one "
+                         "sublane row; 32 models a segment-reduced cull)")
+    ap.add_argument("--sort6d", default="",
+                    help="bounce sort: 6D morton 'pbits,dbits' (e.g. 8,3)")
+    ap.add_argument("--rebalance", action="store_true",
+                    help="repack sub-packets into gangs by candidate-count "
+                         "rank (models a count-pass + round-robin deal; "
+                         "steps per gang = max over its sub-packets, so "
+                         "balance converts wasted sublane idle into speed)")
     ap.add_argument("--hits-cache", default="/tmp/sim_stream_hits.npz")
     args = ap.parse_args()
 
@@ -387,6 +429,43 @@ def main():
             osg = ob.reshape(-1, SUB, LANE, 3)
             dsg = dsh.reshape(-1, SUB, LANE, 3)
             workloads.append(("shadow-any", osg, dsg, 1e-4, 1e6, True))
+    if args.workload == "real-bounce-exact":
+        # per-RAY exact candidate counts: the lower bound any grouping
+        # scheme is chasing, and the shape of the irreducible tail
+        from capsaicin_tpu.ops import sampling
+        import jax.numpy as jnp
+
+        hits = trace_primary_hits(tris, o, d, args.hits_cache)
+        p, gn, hitm = hit_geometry(tris, o, d, hits)
+        rng = np.random.default_rng(11)
+        s2 = rng.uniform(0, 1, (n_rays, 2)).astype(np.float32)
+        db = np.asarray(sampling.map_to_hemisphere(
+            jnp.asarray(s2), jnp.asarray(gn), 1.0), np.float32)
+        sel = rng.choice(np.nonzero(hitm)[0], 50000, replace=False)
+        po, pd = p[sel], db[sel]
+        inv = safe_inv(pd)
+        counts = np.zeros(len(sel), np.int64)
+        near = np.zeros(len(sel), np.float32)
+        for i in range(0, len(sel), 4096):
+            oo = po[i : i + 4096, None, :]
+            ii = inv[i : i + 4096, None, :]
+            t0s = (lo[None] - oo) * ii
+            t1s = (hi[None] - oo) * ii
+            tn = np.minimum(t0s, t1s).max(-1)
+            tf = np.maximum(t0s, t1s).min(-1)
+            h = (tn <= tf) & (tf >= 1e-3) & valid[None, :]
+            counts[i : i + 4096] = h.sum(1)
+            tnh = np.where(h, tn, INF)
+            near[i : i + 4096] = tnh.min(1)
+        print(f"[real-bounce-exact] per-ray candidate blocks: "
+              f"mean={counts.mean():.1f} p50={np.percentile(counts, 50):.0f}"
+              f" p90={np.percentile(counts, 90):.0f}"
+              f" p99={np.percentile(counts, 99):.0f} max={counts.max()}")
+        print(f"    sum over 128-ray sub-packet if perfectly grouped ~= "
+              f"{counts.mean() * 128:.0f} pair-tests vs union behavior; "
+              f"per-gang exact-union lower bound ~= {counts.mean():.1f} "
+              f"steps IF unions were free")
+        return
     if args.workload.startswith("real"):
         # REAL per-pass workloads: exact primary hit points via the jnp BVH
         # oracle, then (a) cosine-hemisphere bounce rays sorted exactly as
@@ -406,7 +485,10 @@ def main():
             s2 = rng.uniform(0, 1, (n_rays, 2)).astype(np.float32)
             db = np.asarray(sampling.map_to_hemisphere(
                 jnp.asarray(s2), jnp.asarray(gn), 1.0), np.float32)
-            if args.dirbins:
+            if args.sort6d:
+                pb, dbit = (int(x) for x in args.sort6d.split(","))
+                order = sort_6d(p, db, dead, pb, dbit)
+            elif args.dirbins:
                 order = sort_dirbins(p, db, dead, args.dirbins)
             else:
                 from capsaicin_tpu.ops.pallas_traverse import (
@@ -419,13 +501,47 @@ def main():
                         dead=jnp.asarray(dead))[0])
             ob2, db2, dd2 = p[order], db[order], dead[order]
             tmx = np.where(dd2, -1.0, 1e6).astype(np.float32)
-            tag = f"real-bounce/dirbins{args.dirbins}" if args.dirbins \
-                else "real-bounce"
+            if args.sort6d:
+                tag = f"real-bounce/6d{args.sort6d}"
+            elif args.dirbins:
+                tag = f"real-bounce/dirbins{args.dirbins}"
+            else:
+                tag = "real-bounce"
             workloads.append((tag,
                               ob2.reshape(-1, SUB, LANE, 3),
                               db2.reshape(-1, SUB, LANE, 3),
                               np.full_like(tmx, 1e-3).reshape(-1, SUB, LANE),
                               tmx.reshape(-1, SUB, LANE), False))
+        if args.workload == "real-nee":
+            # per-bounce NEE shadows: origins at the exact BOUNCE hit
+            # points (the most scattered any-hit pass of the frame),
+            # constant light direction, sorted like the production
+            # bounce_any wrapper (origin morton; direction key constant)
+            rng = np.random.default_rng(11)
+            s2 = rng.uniform(0, 1, (n_rays, 2)).astype(np.float32)
+            db = np.asarray(sampling.map_to_hemisphere(
+                jnp.asarray(s2), jnp.asarray(gn), 1.0), np.float32)
+            h2 = trace_primary_hits(
+                tris, p, db, "/tmp/sim_stream_hits2.npz", tmin=1e-3)
+            p2, _, hitm2 = hit_geometry(tris, p, db, h2)
+            dead2 = ~(hitm & hitm2)
+            ld = np.array([0.0, 100.0, 40.0], np.float32)
+            ld /= np.linalg.norm(ld)
+            dsh = np.broadcast_to(ld, (n_rays, 3)).astype(np.float32).copy()
+            from capsaicin_tpu.ops.pallas_traverse import (
+                sort_rays_for_traversal,
+            )
+
+            order = np.asarray(sort_rays_for_traversal(
+                jnp.asarray(p2), jnp.asarray(dsh),
+                dead=jnp.asarray(dead2))[0])
+            o3, d3, dd3 = p2[order], dsh[order], dead2[order]
+            tmx = np.where(dd3, -1.0, 1e6).astype(np.float32)
+            workloads.append(("real-nee",
+                              o3.reshape(-1, SUB, LANE, 3),
+                              d3.reshape(-1, SUB, LANE, 3),
+                              np.full_like(tmx, 1e-4).reshape(-1, SUB, LANE),
+                              tmx.reshape(-1, SUB, LANE), True))
         if args.workload in ("real-shadow", "real-all"):
             ld = np.array([0.0, 100.0, 40.0], np.float32)
             ld /= np.linalg.norm(ld)
@@ -438,6 +554,32 @@ def main():
                               gangs_of_scalar(tmx, args.width, args.height),
                               True))
 
+    def rebalance(OG, DG, tmn, tmx, kk):
+        """Round-robin deal of sub-packets into gangs by candidate count."""
+        n_g = OG.shape[0]
+        sub = GANG // kk
+        o2 = OG.reshape(n_g * sub, kk, 3)
+        d2 = DG.reshape(n_g * sub, kk, 3)
+        tm2 = (np.full((n_g * sub, kk), tmn, np.float32)
+               if np.isscalar(tmn) else tmn.reshape(n_g * sub, kk))
+        tM2 = (np.full((n_g * sub, kk), tmx, np.float32)
+               if np.isscalar(tmx) else tmx.reshape(n_g * sub, kk))
+        counts = np.empty(n_g * sub, np.int64)
+        for i in range(0, n_g * sub, 1024):
+            h, _ = cull(lo, hi, valid, o2[i : i + 1024], d2[i : i + 1024],
+                        tm2[i : i + 1024], tM2[i : i + 1024])
+            counts[i : i + h.shape[0]] = h.sum(1)
+        order = np.argsort(-counts, kind="stable")
+        # gang j <- ranks [j*sub, (j+1)*sub): SIMILAR loads share a gang.
+        # Steps per gang = MAX over its sub-packets, so grouping equals out
+        # the max; spreading heavy sub-packets would put one long pole in
+        # every gang (measured 1.5x WORSE than no rebalancing at all)
+        perm = order
+        return (o2[perm].reshape(n_g, sub * kk, 3).reshape(OG.shape),
+                d2[perm].reshape(n_g, sub * kk, 3).reshape(DG.shape),
+                tm2[perm].reshape(n_g, SUB, LANE),
+                tM2[perm].reshape(n_g, SUB, LANE))
+
     diag = float(np.linalg.norm(
         tris.reshape(-1, 3).max(0) - tris.reshape(-1, 3).min(0)))
     windows = tuple(float(w) * diag for w in args.windows.split(",")
@@ -445,28 +587,38 @@ def main():
     wtag = f"/w{args.windows}" if windows else ""
 
     for name, OG, DG, tmn, tmx, anyh in workloads:
+        if args.rebalance:
+            OG, DG, tmn, tmx = rebalance(OG, DG, tmn, tmx, args.subrays)
+            name += "/rebal"
         for order in args.orders.split(","):
             nf = order == "near"
             t0 = time.time()
             steps, popped = [], []
+            k = args.subrays
+            sub = GANG // k
             for g in sample:
                 tm = (np.full((SUB, LANE), tmn, np.float32)
                       if np.isscalar(tmn) else tmn[g])
                 tM = (np.full((SUB, LANE), tmx, np.float32)
                       if np.isscalar(tmx) else tmx[g])
                 s, p_, tb, dec = sim_gang(lo, hi, valid, v0, e1, e2, tid,
-                                          OG[g], DG[g], tm, tM, nf, anyh,
+                                          OG[g].reshape(sub, k, 3),
+                                          DG[g].reshape(sub, k, 3),
+                                          tm.reshape(sub, k),
+                                          tM.reshape(sub, k), nf, anyh,
                                           windows=windows)
                 if args.check and windows:
                     _, _, tb0, dec0 = sim_gang(
                         lo, hi, valid, v0, e1, e2, tid,
-                        OG[g], DG[g], tm, tM, nf, anyh)
+                        OG[g].reshape(sub, k, 3), DG[g].reshape(sub, k, 3),
+                        tm.reshape(sub, k), tM.reshape(sub, k), nf, anyh)
                     assert np.array_equal(dec, dec0), f"any-hit mismatch g{g}"
                     assert np.array_equal(tb, tb0), f"t_best mismatch g{g}"
                 steps.append(s)
                 popped.append(p_)
-            report(f"{name}/{order}/b{args.block}{wtag}", steps, popped,
-                   OG.shape[0], n_rays, len(lo))
+            ktag = f"/k{k}" if k != LANE else ""
+            report(f"{name}/{order}/b{args.block}{wtag}{ktag}", steps,
+                   popped, OG.shape[0], n_rays, len(lo))
             print(f"    (simulated {len(steps)} of {OG.shape[0]} gangs "
                   f"in {time.time()-t0:.1f}s)", flush=True)
 
