@@ -54,6 +54,98 @@ def build_blocks(tris, block_tris):
     return lo, hi, valid, v0, e1, e2, tid
 
 
+def build_blocks_sah(tris, block_tris, bins=16):
+    """Binned-SAH leaf blocks (variable fill, padded to block_tris) ordered
+    along a morton curve of leaf centers. Tighter boxes -> fewer candidate
+    pops per frustum; the kernel's per-step cost is fill-independent
+    (fixed rows loop), so sim steps compare directly vs build_blocks."""
+    tris = np.asarray(tris, np.float32)
+    pmin = tris.min(1)
+    pmax = tris.max(1)
+    cen = tris.mean(1)
+    leaves = []
+
+    def area(lo_, hi_):
+        d = np.maximum(hi_ - lo_, 0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] \
+            + d[..., 2] * d[..., 0]
+
+    def split(idx):
+        if len(idx) <= block_tris:
+            leaves.append(idx)
+            return
+        c = cen[idx]
+        clo, chi = c.min(0), c.max(0)
+        best = None  # (cost, ax, plane_bin, bin_ids)
+        for ax in range(3):
+            ext = chi[ax] - clo[ax]
+            if ext < 1e-9:
+                continue
+            b = np.clip(((c[:, ax] - clo[ax]) / ext * bins).astype(np.int64),
+                        0, bins - 1)
+            bmin = np.full((bins, 3), np.inf, np.float32)
+            bmax = np.full((bins, 3), -np.inf, np.float32)
+            cnt = np.zeros(bins, np.int64)
+            np.minimum.at(bmin, b, pmin[idx])
+            np.maximum.at(bmax, b, pmax[idx])
+            np.add.at(cnt, b, 1)
+            lmin = np.minimum.accumulate(bmin, 0)
+            lmax = np.maximum.accumulate(bmax, 0)
+            rmin = np.minimum.accumulate(bmin[::-1], 0)[::-1]
+            rmax = np.maximum.accumulate(bmax[::-1], 0)[::-1]
+            lcnt = np.cumsum(cnt)
+            for pl in range(bins - 1):
+                nl = lcnt[pl]
+                nr = len(idx) - nl
+                if nl == 0 or nr == 0:
+                    continue
+                cost = nl * area(lmin[pl], lmax[pl]) \
+                    + nr * area(rmin[pl + 1], rmax[pl + 1])
+                if best is None or cost < best[0]:
+                    best = (cost, ax, pl, b)
+        if best is None:  # all centroids coincide: arbitrary halves
+            leaves.append(idx[: block_tris])
+            split(idx[block_tris:])
+            return
+        _, ax, pl, b = best
+        split(idx[b <= pl])
+        split(idx[b > pl])
+
+    split(np.arange(len(tris), dtype=np.int64))
+    # morton order of leaf centers keeps hier groups (128 consecutive
+    # blocks) spatially coherent
+    lcen = np.stack([(pmin[ix].min(0) + pmax[ix].max(0)) * 0.5
+                     for ix in leaves])
+    from capsaicin_tpu.ops.lbvh import morton_codes
+    import jax.numpy as jnp
+
+    mc = np.asarray(morton_codes(
+        jnp.asarray(lcen), jnp.asarray(lcen.min(0)), jnp.asarray(lcen.max(0))))
+    leaves = [leaves[i] for i in np.argsort(mc, kind="stable")]
+
+    b_ = len(leaves)
+    lo = np.empty((b_, 3), np.float32)
+    hi = np.empty((b_, 3), np.float32)
+    v0 = np.zeros((b_, block_tris, 3), np.float32)
+    e1 = np.zeros((b_, block_tris, 3), np.float32)
+    e2 = np.zeros((b_, block_tris, 3), np.float32)
+    tid = np.full((b_, block_tris), -1, np.int64)
+    for i, ix in enumerate(leaves):
+        lo[i] = pmin[ix].min(0)
+        hi[i] = pmax[ix].max(0)
+        k = len(ix)
+        v0[i, :k] = tris[ix, 0]
+        e1[i, :k] = tris[ix, 1] - tris[ix, 0]
+        e2[i, :k] = tris[ix, 2] - tris[ix, 0]
+        tid[i, :k] = ix
+    valid = np.ones(b_, bool)
+    fill = np.mean([len(ix) for ix in leaves]) / block_tris
+    print(f"SAH blocks: {b_} (median builder: "
+          f"{max(2, 1 << (int(np.ceil(len(tris) / block_tris)) - 1).bit_length())}"
+          f"-ish), mean fill {fill:.2f}")
+    return lo, hi, valid, v0, e1, e2, tid
+
+
 def safe_inv(d):
     tiny = np.abs(d) < 1e-12
     return np.where(tiny, np.where(d < 0, -1e12, 1e12),
@@ -374,6 +466,7 @@ def main():
                          "steps per gang = max over its sub-packets, so "
                          "balance converts wasted sublane idle into speed)")
     ap.add_argument("--hits-cache", default="/tmp/sim_stream_hits.npz")
+    ap.add_argument("--builder", default="median", choices=("median", "sah"))
     args = ap.parse_args()
 
     from capsaicin_tpu.ops.camera import create_primary_rays, pixel_grid
@@ -383,8 +476,9 @@ def main():
     t0 = time.time()
     scene = build_scene(colonnade(target_tris=args.target))
     tris = scene.triangles()
-    lo, hi, valid, v0, e1, e2, tid = build_blocks(tris, args.block)
-    print(f"scene tris={len(tris)} blocks={len(lo)} "
+    builder = build_blocks_sah if args.builder == "sah" else build_blocks
+    lo, hi, valid, v0, e1, e2, tid = builder(tris, args.block)
+    print(f"scene tris={len(tris)} blocks={len(lo)} builder={args.builder} "
           f"(build {time.time()-t0:.1f}s)")
 
     cam = make_camera("colonnade", args.width, args.height)
