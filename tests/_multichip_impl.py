@@ -117,6 +117,18 @@ def main(n_dev: int) -> None:
         np.testing.assert_array_equal(
             np.asarray(got_s[k]), np.asarray(want_s[k]), err_msg=f"stream {k}")
 
+    # the balanced production bounce path (count pre-pass + per-shard
+    # argsort/gather sub-packet permutation) under shard_map
+    sharded_sb = sh.shard_trace(
+        mesh, None, sb_rep,
+        lambda _scene, bvh: lambda oo, dd, a, b: st.stream_closest(
+            bvh, oo, dd, a, b, balance=True))
+    got_sb = sharded_sb(o, d, 0.0, 1e6)
+    for k in ("t", "u", "v", "prim"):
+        np.testing.assert_array_equal(
+            np.asarray(got_sb[k]), np.asarray(want_s[k]),
+            err_msg=f"stream-balanced {k}")
+
     # eaw5 chain (disocclusion + strides 1,3,5,7) under SPMD, standalone,
     # on the jnp fallback path (XLA partitions each roll tap): equality vs
     # single-device. The halo_map'd Pallas path is checked after it.
