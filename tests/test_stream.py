@@ -172,6 +172,26 @@ def test_stream_tiny_scene(rng):
     _check(tris, o, d)
 
 
+def test_stream_many_groups(rng):
+    """>128 block groups (the hier group-min table spans multiple lane
+    tiles): small blocks force n_grp=256 without a huge scene."""
+    base = rng.uniform(-4, 4, size=(135000, 1, 3))
+    tris = jnp.asarray(
+        (base + rng.normal(scale=0.05, size=(135000, 3, 3))
+         ).astype(np.float32))
+    sbvh = stream.build_stream_bvh(tris, block_tris=8)
+    assert sbvh.boxes.shape[1] // 128 > 128  # gp spans >1 lane tile
+    o, d = _rays(rng, 128, spread=4.5)
+    got = stream.stream_closest(sbvh, o, d)
+    want = intersect.brute_force_closest(o, d, tris, 0.0, 1e6)
+    gp, wp = np.asarray(got["prim"]), np.asarray(want["prim"])
+    same = gp == wp
+    if not same.all():
+        np.testing.assert_allclose(
+            np.asarray(got["t"])[~same], np.asarray(want["t"])[~same],
+            rtol=1e-4)
+
+
 def test_stream_block64(rng):
     scene = build_scene(colonnade(target_tris=4000))
     tris = jnp.asarray(scene.triangles())
