@@ -86,6 +86,12 @@ CONFIGS = {
     "progressive": dict(width=1024, height=1024, bounces=1, scene="cornell",
                         options=dict(lowres_indirect=True)),
 }
+# named-only variants (not part of --all): opt-in A/B configs
+CONFIGS["colonnade_stream"] = dict(
+    width=1920, height=1080, bounces=1, scene="colonnade",
+    traversal="stream")
+ALL_CONFIGS = [n for n in CONFIGS if n != "colonnade_stream"]
+
 # the driver's required single-line metric comes from this config
 FLAGSHIP = "gi1080"
 assert FLAGSHIP in CONFIGS
@@ -193,7 +199,7 @@ def main():
         # one JSON line per BASELINE config; the flagship (gi1080) line last
         # in the driver's required single-line format
         flagship = None
-        for name in CONFIGS:
+        for name in ALL_CONFIGS:
             res = run_named(name)
             if name == FLAGSHIP:
                 flagship = res
