@@ -467,6 +467,8 @@ def main():
                          "balance converts wasted sublane idle into speed)")
     ap.add_argument("--hits-cache", default="/tmp/sim_stream_hits.npz")
     ap.add_argument("--builder", default="median", choices=("median", "sah"))
+    ap.add_argument("--exit-tmax", action="store_true",
+                    help="cap bounce tmax at the scene-bbox exit distance")
     args = ap.parse_args()
 
     from capsaicin_tpu.ops.camera import create_primary_rays, pixel_grid
@@ -594,13 +596,27 @@ def main():
                         jnp.asarray(p), jnp.asarray(db),
                         dead=jnp.asarray(dead))[0])
             ob2, db2, dd2 = p[order], db[order], dead[order]
-            tmx = np.where(dd2, -1.0, 1e6).astype(np.float32)
+            if args.exit_tmax:
+                # rays cannot hit beyond the scene bbox: capping tmax at
+                # the bbox exit distance is exact and lets miss rays
+                # contribute a short pruning cap instead of 1e6
+                blo = np.asarray(tris.reshape(-1, 3).min(0))
+                bhi = np.asarray(tris.reshape(-1, 3).max(0))
+                inv2 = safe_inv(db2)
+                t0s = (blo[None] - ob2) * inv2
+                t1s = (bhi[None] - ob2) * inv2
+                texit = np.maximum(t0s, t1s).min(-1) + 1e-3
+                tmx = np.where(dd2, -1.0, texit).astype(np.float32)
+            else:
+                tmx = np.where(dd2, -1.0, 1e6).astype(np.float32)
             if args.sort6d:
                 tag = f"real-bounce/6d{args.sort6d}"
             elif args.dirbins:
                 tag = f"real-bounce/dirbins{args.dirbins}"
             else:
                 tag = "real-bounce"
+            if args.exit_tmax:
+                tag += "/exit"
             workloads.append((tag,
                               ob2.reshape(-1, SUB, LANE, 3),
                               db2.reshape(-1, SUB, LANE, 3),
