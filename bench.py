@@ -90,7 +90,10 @@ CONFIGS = {
 CONFIGS["colonnade_stream"] = dict(
     width=1920, height=1080, bounces=1, scene="colonnade",
     traversal="stream")
-ALL_CONFIGS = [n for n in CONFIGS if n != "colonnade_stream"]
+CONFIGS["textured_u32"] = dict(
+    width=1024, height=1024, bounces=1, scene="textured", atlas_u32=True)
+_AB_ONLY = ("colonnade_stream", "textured_u32")
+ALL_CONFIGS = [n for n in CONFIGS if n not in _AB_ONLY]
 
 # the driver's required single-line metric comes from this config
 FLAGSHIP = "gi1080"
@@ -98,7 +101,7 @@ assert FLAGSHIP in CONFIGS
 
 
 def run_config(width, height, bounces, scene_name, traversal, frames, lowres=False,
-               extra_options=None, spp=1, frames_per_dispatch=1):
+               extra_options=None, spp=1, frames_per_dispatch=1, atlas_u32=False):
     import numpy as np
 
     from capsaicin_tpu.render import RenderOptions, RenderSession
@@ -106,6 +109,7 @@ def run_config(width, height, bounces, scene_name, traversal, frames, lowres=Fal
     from capsaicin_tpu.scene.procedural import (
         colonnade, cornell_box, cornell_box_textured, make_camera,
     )
+    from capsaicin_tpu.scene.scene import quantize_atlas
 
     opt_kw = dict(num_diffuse_bounces=bounces, lowres_indirect=lowres, spp=spp)
     opt_kw.update(extra_options or {})
@@ -117,7 +121,9 @@ def run_config(width, height, bounces, scene_name, traversal, frames, lowres=Fal
         session.set_scene(build_scene(colonnade()))
     elif scene_name == "textured":
         meshes, tex = cornell_box_textured()
-        session.set_scene(build_scene(meshes, tex))
+        sc = build_scene(meshes, tex)
+        # rgba8-in-u32 atlas: native R8G8B8A8 precision, 1/4 gather bytes
+        session.set_scene(quantize_atlas(sc) if atlas_u32 else sc)
     else:
         session.set_scene(build_scene(cornell_box()))
 
@@ -193,6 +199,7 @@ def main():
             extra_options={k: v for k, v in cfg.get("options", {}).items()
                            if k != "lowres_indirect"},
             spp=args.spp, frames_per_dispatch=args.frames_per_dispatch,
+            atlas_u32=cfg.get("atlas_u32", False),
         )
 
     if args.all:

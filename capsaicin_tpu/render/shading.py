@@ -87,13 +87,26 @@ def interpolate_attributes(scene, prim, u, v):
     return hit["p"], hit["n"], hit["tx"]
 
 
+def _unpack_rgba8(u):
+    """uint32 rgba8 -> [...,4] f32 in [0,1]. Division (not reciprocal
+    multiply) so k/255 is correctly rounded — bit-equal to an f32 atlas
+    holding round(v*255)/255."""
+    b = jnp.stack(
+        [u & 0xFF, (u >> 8) & 0xFF, (u >> 16) & 0xFF, (u >> 24) & 0xFF], axis=-1
+    )
+    return b.astype(jnp.float32) / 255.0
+
+
 def sample_atlas(atlas, sizes, tex_id, uv):
     """Bilinear, wrap-mode fetch from the quad-packed texture atlas.
 
-    atlas: [N,TH,TW,16] with the four bilinear corners pre-packed per texel
-    (see Scene.atlas); sizes: [N,2] (w,h); tex_id: [...] int32 >= 0;
-    uv: [...,2]. Equivalent of SampleLevel(g_sampler, tx, 0) on the bindless
-    texture array (scene.h:58) — ONE gather per sample instead of four.
+    atlas: [N,TH,TW,16] f32 with the four bilinear corners pre-packed per
+    texel, or [N,TH,TW,4] uint32 with each corner rgba8-packed
+    (scene.quantize_atlas — the reference's own R8G8B8A8_UNORM precision,
+    texture_system.cpp:58-66, at a quarter of the gather row bytes);
+    sizes: [N,2] (w,h); tex_id: [...] int32 >= 0; uv: [...,2]. Equivalent
+    of SampleLevel(g_sampler, tx, 0) on the bindless texture array
+    (scene.h:58) — ONE gather per sample instead of four.
     """
     t = jnp.clip(tex_id, 0, atlas.shape[0] - 1)
     wh_i = sizes[t]  # [...,2] i32 (one gather, reused below)
@@ -107,10 +120,16 @@ def sample_atlas(atlas, sizes, tex_id, uv):
     n_, th, tw, c = atlas.shape
     flat = atlas.reshape(n_ * th * tw, c)
     quad = jnp.take(flat, (t * th + jy) * tw + jx, axis=0)
-    v00 = quad[..., 0:4]
-    v10 = quad[..., 4:8]
-    v01 = quad[..., 8:12]
-    v11 = quad[..., 12:16]
+    if atlas.dtype == jnp.uint32:
+        v00 = _unpack_rgba8(quad[..., 0])
+        v10 = _unpack_rgba8(quad[..., 1])
+        v01 = _unpack_rgba8(quad[..., 2])
+        v11 = _unpack_rgba8(quad[..., 3])
+    else:
+        v00 = quad[..., 0:4]
+        v10 = quad[..., 4:8]
+        v01 = quad[..., 8:12]
+        v11 = quad[..., 12:16]
     top = v00 * (1 - fx) + v10 * fx
     bot = v01 * (1 - fx) + v11 * fx
     return top * (1 - fy) + bot * fy

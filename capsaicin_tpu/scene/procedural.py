@@ -127,13 +127,19 @@ def cornell_box(floor_texture: str = "", back_texture: str = "") -> List[MeshDat
     return meshes
 
 
+def _q8(img: np.ndarray) -> np.ndarray:
+    """Snap to the 8-bit grid: these stand in for PNG files, whose pixels
+    are always k/255 (and which makes scene.quantize_atlas lossless)."""
+    return (np.round(img * 255.0) / np.float32(255.0)).astype(np.float32)
+
+
 def checker_texture(size: int = 128, tiles: int = 8) -> np.ndarray:
     """[size,size,4] checkerboard in [0,1] (display-referred, like a PNG)."""
     ax = np.arange(size)
     cell = (ax[:, None] * tiles // size + ax[None, :] * tiles // size) % 2
     img = np.where(cell[..., None] == 0, 0.9, 0.25).astype(np.float32)
     img = np.repeat(img, 3, axis=-1)
-    return np.concatenate([img, np.ones((size, size, 1), np.float32)], axis=-1)
+    return _q8(np.concatenate([img, np.ones((size, size, 1), np.float32)], axis=-1))
 
 
 def stripe_texture(h: int = 48, w: int = 96, stripes: int = 12) -> np.ndarray:
@@ -145,7 +151,7 @@ def stripe_texture(h: int = 48, w: int = 96, stripes: int = 12) -> np.ndarray:
     img = np.where(band[None, :, None] == 0, 0.85, 0.35).astype(np.float32)
     img = np.repeat(img, 3, axis=-1)
     img = np.broadcast_to(img, (h, w, 3)).copy()
-    return np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=-1)
+    return _q8(np.concatenate([img, np.ones((h, w, 1), np.float32)], axis=-1))
 
 
 def cornell_box_textured() -> Tuple[List[MeshData], dict]:

@@ -56,7 +56,8 @@ class Scene(NamedTuple):
     # texture atlas, quad-packed: channels = 4 RGBA blocks for the (0,0),
     # (+1,0), (0,+1), (+1,+1) bilinear corners with per-texture wrap, so one
     # gather fetches a full bilinear footprint (see build_scene)
-    atlas: np.ndarray  # [N,TH,TW,16] f32 (N>=1; entry 0 is the 1x1 fallback)
+    atlas: np.ndarray  # [N,TH,TW,16] f32, or [N,TH,TW,4] u32 rgba8-packed
+    #                    (see quantize_atlas); N>=1, entry 0 is the fallback
     atlas_size: np.ndarray  # [N,2] i32 (w,h)
 
     @property
@@ -204,6 +205,29 @@ def _has_textures(scene: Scene) -> bool:
     return bool(np.any(scene.mesh_texture >= 0))
 
 
+def quantize_atlas(scene: Scene) -> Scene:
+    """Repack the f32 quad atlas as rgba8-in-uint32: [N,TH,TW,16] f32 ->
+    [N,TH,TW,4] u32, one packed corner per channel.
+
+    The reference samples R8G8B8A8_UNORM textures (texture_system.cpp:58-66
+    uploads stbi's 8-bit pixels verbatim), so 8 bits per channel is the
+    native texel precision — this is the *more* faithful representation.
+    On TPU it quarters the bilinear fetch's gather row (16 B instead of
+    64 B per index); `shading.sample_atlas` branches on the dtype and
+    unpacks with shifts after the single gather. Exact for 8-bit-grid
+    sources (all PNG loads, and the procedural textures which quantize at
+    build); lossy-to-8-bit otherwise, like uploading the same data as a
+    UNORM texture would be.
+    """
+    if scene.atlas.dtype == np.uint32:
+        return scene
+    q = np.round(np.clip(scene.atlas, 0.0, 1.0) * 255.0).astype(np.uint32)
+    packed = (
+        q[..., 0::4] | (q[..., 1::4] << 8) | (q[..., 2::4] << 16) | (q[..., 3::4] << 24)
+    )  # [N,TH,TW,4]: corner c's rgba in channel c
+    return scene._replace(atlas=packed)
+
+
 def merge_scenes(a: Scene, b: Scene) -> Scene:
     """Append scene `b`'s meshes into `a`'s pooled buffers — the analog of
     the reference accumulating every LoadSceneFromOBJ call into its
@@ -226,10 +250,11 @@ def merge_scenes(a: Scene, b: Scene) -> Scene:
         atlas, sizes = b.atlas, b.atlas_size
         b_tex_shift = 0
     else:
+        assert a.atlas.dtype == b.atlas.dtype, "mixed atlas formats; quantize_atlas both"
         th = max(a.atlas.shape[1], b.atlas.shape[1])
         tw = max(a.atlas.shape[2], b.atlas.shape[2])
         n = a.atlas.shape[0] + b.atlas.shape[0]
-        atlas = np.zeros((n, th, tw, a.atlas.shape[3]), np.float32)
+        atlas = np.zeros((n, th, tw, a.atlas.shape[3]), a.atlas.dtype)
         atlas[: a.atlas.shape[0], : a.atlas.shape[1], : a.atlas.shape[2]] = a.atlas
         atlas[a.atlas.shape[0] :, : b.atlas.shape[1], : b.atlas.shape[2]] = b.atlas
         sizes = cat([a.atlas_size, b.atlas_size])

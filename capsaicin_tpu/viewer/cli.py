@@ -54,6 +54,10 @@ def build_session(args):
         session.set_camera(make_camera("colonnade", args.width, args.height))
     else:
         raise SystemExit(f"unknown scene {args.scene}")
+    if args.atlas_u32:
+        from ..scene.scene import quantize_atlas
+
+        scene = quantize_atlas(scene)
     session.set_scene(scene)
     return session
 
@@ -72,6 +76,9 @@ def main(argv=None):
                     choices=["auto", "brute", "bvh", "wavefront", "cull",
                              "stream"])
     ap.add_argument("--lowres-indirect", action="store_true")
+    ap.add_argument("--atlas-u32", action="store_true",
+                    help="pack the texture atlas rgba8-in-u32 (native "
+                         "R8G8B8A8 precision, 1/4 gather bytes)")
     ap.add_argument("--no-denoise", action="store_true")
     ap.add_argument("--no-taa", action="store_true")
     ap.add_argument("--exposure", type=float, default=None,
