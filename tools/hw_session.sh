@@ -1,0 +1,60 @@
+#!/bin/bash
+# One-command TPU hardware session: the moment the tunnel relay returns,
+# run the round's entire hardware-validation backlog in value order, each
+# step bounded and logged. Strictly sequential (single-tenant tunnel, one
+# CPU core — concurrent python jobs serialize and can wedge the relay).
+#
+#   bash tools/hw_session.sh [logfile]
+#
+# Order rationale:
+#   1. flagship bench — BENCH_r04's own config; captures the round's
+#      headline number and warms the persistent XLA cache the driver's
+#      end-of-round bench.py run will hit.
+#   2. tpu_smoke — compiled-kernel gate (Mosaic-only regressions).
+#   3. profile_stream — FIRST-EVER hardware compile of ops/stream.py
+#      (dynamic-index pend rows + DMA loops are the lowering risk) and the
+#      stream-vs-packet colonnade A/B that decides the config flip.
+#   4. bench --all — per-config lines for PERF.md.
+#   5. profile_textured — f32 vs u32 atlas A/B (decides textured flip).
+# A step that fails does not block later steps (independent evidence).
+
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/hw_session.log}
+
+say() { echo "[$(date -u +%H:%M:%S)] $*" | tee -a "$LOG"; }
+run() { # run <timeout-s> <label> <cmd...>
+  local t=$1 label=$2; shift 2
+  say "=== $label (timeout ${t}s): $*"
+  local t0=$SECONDS
+  timeout "$t" "$@" >> "$LOG" 2>&1
+  local rc=$?
+  say "=== $label done rc=$rc in $((SECONDS - t0))s"
+  return $rc
+}
+
+say "hw_session start"
+
+# 0. don't stack onto a running CPU test suite
+if [ -f /tmp/suite.pid ] && kill -0 "$(cat /tmp/suite.pid)" 2>/dev/null; then
+  say "waiting for test suite pid $(cat /tmp/suite.pid) to finish"
+  while kill -0 "$(cat /tmp/suite.pid)" 2>/dev/null; do sleep 30; done
+fi
+
+# 1. bounded backend probe — abort early if the relay is still dead
+if ! run 120 probe python -c "
+import jax, jax.numpy as jnp
+d = jax.devices()
+assert float(jnp.ones((8,128)).sum()) == 1024.0
+print('PROBE_OK', d[0].platform)"; then
+  say "backend still unavailable; aborting"
+  exit 1
+fi
+
+run 2400 bench-flagship python bench.py
+run 1800 tpu-smoke python tools/tpu_smoke.py
+run 3000 profile-stream python tools/profile_stream.py
+run 4800 bench-all python bench.py --all
+run 1800 profile-textured python tools/profile_textured.py
+
+say "hw_session complete — read $LOG, decide colonnade/textured config flips"
