@@ -31,6 +31,7 @@ the jnp path to fp tolerance.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE = 8  # row tile
-PAD_BLOCKS = 2  # zero tiles above/below = max n_side (stride-7 blur)
+PAD_BLOCKS = 3  # zero tiles above/below = max n_side (fused 5+7 blur pair)
 COL_PAD = 64
 EPS = 1e-8
 FIREFLY_CLAMP = 10.0
@@ -117,25 +118,19 @@ def _stack(refs):
 # EAW blur (eaw_blur.hlsl Blur): 5x5 a-trous, variance-guided luma sigma
 
 
-def _eaw_kernel(stride, use_variance, n_side, scal_ref, *refs):
-    nblk = 2 * n_side + 1
-    col_refs = refs[:nblk]
-    geo_refs = refs[nblk : 2 * nblk]
-    out_ref = refs[2 * nblk]
-    s_normal = scal_ref[0, 0]
-    s_depth = scal_ref[0, 1]  # eaw_depth_sigma
-    s_luma = scal_ref[0, 2]
-
-    col3 = _stack(col_refs)
-    geo3 = _stack(geo_refs)
-    # clamp rgb once on the stacked window (taps and center see clamped rgb)
+def _eaw_stage(col3, geo3, stride, use_variance, s_normal, s_depth, s_luma,
+               c0, nrows):
+    """One Blur stage over output rows [c0, c0+nrows) of the stacked window
+    arrays col3/geo3 ([4, R, Wp]). col3 is UNCLAMPED — the stage clamps its
+    own rgb taps, exactly like the sequential kernels clamp on read. Taps
+    reach rows [c0 - 2*stride, c0 + nrows + 2*stride); the caller guarantees
+    those are in range. Returns the stage output [4, nrows, Wp]."""
     col3 = jnp.concatenate(
         [jnp.minimum(col3[:3], FIREFLY_CLAMP), col3[3:4]], axis=0
     )
 
-    c0 = n_side * TILE
-    cc = col3[:, c0 : c0 + TILE, :]
-    gc = geo3[:, c0 : c0 + TILE, :]
+    cc = col3[:, c0 : c0 + nrows, :]
+    gc = geo3[:, c0 : c0 + nrows, :]
     cr, cg, cb, cv = cc[0], cc[1], cc[2], cc[3]
     cn = (gc[0], gc[1], gc[2])
     cd = gc[3]
@@ -151,8 +146,8 @@ def _eaw_kernel(stride, use_variance, n_side, scal_ref, *refs):
     # row window sliced once per dy, lane roll per dx on the small window
     for dy in range(-2, 3):
         r0 = c0 + dy * stride
-        c_dy = col3[:, r0 : r0 + TILE, :]
-        g_dy = geo3[:, r0 : r0 + TILE, :]
+        c_dy = col3[:, r0 : r0 + nrows, :]
+        g_dy = geo3[:, r0 : r0 + nrows, :]
         for dx in range(-2, 3):
             ct = _roll_cols(c_dy, dx * stride)
             gt = _roll_cols(g_dy, dx * stride)
@@ -187,10 +182,62 @@ def _eaw_kernel(stride, use_variance, n_side, scal_ref, *refs):
     else:
         out_v = jnp.where(low, cv, acc_v)
     background = cd < 1e-5
-    out_ref[0] = jnp.where(background, cr, out_r)
-    out_ref[1] = jnp.where(background, cg, out_g)
-    out_ref[2] = jnp.where(background, cb, out_b)
-    out_ref[3] = jnp.where(background, cv, out_v)
+    return jnp.stack(
+        [
+            jnp.where(background, cr, out_r),
+            jnp.where(background, cg, out_g),
+            jnp.where(background, cb, out_b),
+            jnp.where(background, cv, out_v),
+        ],
+        axis=0,
+    )
+
+
+def _eaw_kernel(stride, use_variance, n_side, scal_ref, *refs):
+    nblk = 2 * n_side + 1
+    col_refs = refs[:nblk]
+    geo_refs = refs[nblk : 2 * nblk]
+    out_ref = refs[2 * nblk]
+    out = _eaw_stage(
+        _stack(col_refs), _stack(geo_refs), stride, use_variance,
+        scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2],
+        n_side * TILE, TILE,
+    )
+    out_ref[0] = out[0]
+    out_ref[1] = out[1]
+    out_ref[2] = out[2]
+    out_ref[3] = out[3]
+
+
+def _eaw_pair_kernel(stride_a, stride_b, use_variance, n_side, scal_ref, *refs):
+    """Two back-to-back Blur stages in ONE kernel: stage A is computed over
+    the wider slab stage B's taps reach ([c0 - 2*sB, c0 + TILE + 2*sB)),
+    then stage B consumes it from VMEM — the intermediate image never
+    round-trips HBM (the sequential chain re-reads 2*(col+geo) windows and
+    writes one full image per stage). Recompute factor for stage A is
+    (TILE + 4*sB)/TILE; the chain is bandwidth-bound, so trading it for
+    half the traffic is the experiment (CAPSAICIN_EAW_FUSED gates it)."""
+    nblk = 2 * n_side + 1
+    col_refs = refs[:nblk]
+    geo_refs = refs[nblk : 2 * nblk]
+    out_ref = refs[2 * nblk]
+    s_normal = scal_ref[0, 0]
+    s_depth = scal_ref[0, 1]
+    s_luma = scal_ref[0, 2]
+
+    col3 = _stack(col_refs)
+    geo3 = _stack(geo_refs)
+    c0 = n_side * TILE
+    lo = c0 - 2 * stride_b
+    n_a = TILE + 4 * stride_b
+    a_out = _eaw_stage(col3, geo3, stride_a, use_variance,
+                       s_normal, s_depth, s_luma, lo, n_a)
+    out = _eaw_stage(a_out, geo3[:, lo : lo + n_a, :], stride_b, use_variance,
+                     s_normal, s_depth, s_luma, 2 * stride_b, TILE)
+    out_ref[0] = out[0]
+    out_ref[1] = out[1]
+    out_ref[2] = out[2]
+    out_ref[3] = out[3]
 
 
 # ---------------------------------------------------------------------------
@@ -399,10 +446,32 @@ def eaw_blur_planar(col_planar, geo_planar, stride: int, use_variance: bool,
                 [col_planar, geo_planar], 4, n_side)
 
 
-def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options):
+def eaw_blur_pair_planar(col_planar, geo_planar, stride_a, stride_b,
+                         use_variance: bool, s_normal, s_depth, s_luma):
+    """Two Blur dispatches fused into one kernel (see _eaw_pair_kernel)."""
+    n_side = _n_side(2 * stride_a + 2 * stride_b)
+    kernel = functools.partial(
+        _eaw_pair_kernel, stride_a, stride_b, use_variance, n_side
+    )
+    return _run(kernel, _scal(s_normal, s_depth, s_luma),
+                [col_planar, geo_planar], 4, n_side)
+
+
+def _use_fused_pairs() -> bool:
+    return os.environ.get("CAPSAICIN_EAW_FUSED") == "1"
+
+
+def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options,
+                  fused: bool = None):
     """The full EAW chain (disocclusion + strides 1,3[,5,7]),
     raytracing_system.cpp:1437-1539, in planar space with one packing and
-    one unpacking. Equals the jnp passes.denoise to fp tolerance."""
+    one unpacking. Equals the jnp passes.denoise to fp tolerance.
+
+    fused=True (default: CAPSAICIN_EAW_FUSED=1) runs the Blur stages as
+    fused pairs (1+3, 5+7) — same math, half the kernel dispatches and HBM
+    round-trips, stage-A recompute inside VMEM."""
+    if fused is None:
+        fused = _use_fused_pairs()
     height, width = color4.shape[:2]
     geo = pack_geo(nd_normal, nd_depth, height, width)
     col = to_planar(
@@ -419,12 +488,20 @@ def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options):
     out = _run(functools.partial(_disocc_kernel, n_side), scal,
                [col, geo, mom], 4, n_side)
     strides = (1, 3, 5, 7) if options.eaw5 else (1, 3)
-    for s in strides:
-        out = eaw_blur_planar(
-            repad_rows(out), geo, s, options.use_variance,
-            settings.eaw_normal_sigma, settings.eaw_depth_sigma,
-            settings.eaw_luma_sigma,
-        )
+    if fused:
+        for s_a, s_b in zip(strides[0::2], strides[1::2]):
+            out = eaw_blur_pair_planar(
+                repad_rows(out), geo, s_a, s_b, options.use_variance,
+                settings.eaw_normal_sigma, settings.eaw_depth_sigma,
+                settings.eaw_luma_sigma,
+            )
+    else:
+        for s in strides:
+            out = eaw_blur_planar(
+                repad_rows(out), geo, s, options.use_variance,
+                settings.eaw_normal_sigma, settings.eaw_depth_sigma,
+                settings.eaw_luma_sigma,
+            )
     planes = from_planar(out, height, width)
     return jnp.stack(planes, axis=-1)
 

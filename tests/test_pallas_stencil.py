@@ -68,6 +68,32 @@ def test_eaw_blur_no_variance_matches_jnp(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.parametrize("eaw5", [False, True])
+def test_denoise_chain_fused_pairs_equal_sequential(rng, eaw5):
+    """CAPSAICIN_EAW_FUSED pairs (1+3, 5+7) are the same math as the
+    sequential stages — stage A recomputed over the slab stage B's taps
+    reach, intermediate never leaving VMEM. Must match the sequential
+    kernel chain to fp noise."""
+    h, w = 40, 150
+    color4, nd, moments4 = _fake_buffers(rng, h, w)
+    settings = default_settings()
+    options = RenderOptions(eaw5=eaw5)
+
+    seq = np.asarray(
+        ps.denoise_chain(
+            color4, m.oct_decode(nd["oct"]), nd["depth"], moments4, settings,
+            options, fused=False,
+        )
+    )
+    fus = np.asarray(
+        ps.denoise_chain(
+            color4, m.oct_decode(nd["oct"]), nd["depth"], moments4, settings,
+            options, fused=True,
+        )
+    )
+    np.testing.assert_allclose(fus, seq, rtol=1e-6, atol=1e-7)
+
+
 def test_spatial_gather_matches_jnp(rng):
     h, w = 48, 130
     color4, nd, moments4 = _fake_buffers(rng, h, w)

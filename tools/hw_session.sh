@@ -56,5 +56,7 @@ run 1800 tpu-smoke python tools/tpu_smoke.py
 run 3000 profile-stream python tools/profile_stream.py
 run 4800 bench-all python bench.py --all
 run 1800 profile-textured python tools/profile_textured.py
+run 1800 profile-progressive python tools/profile_1080p.py \
+  --width 1024 --height 1024 --lowres-indirect
 
 say "hw_session complete — read $LOG, decide colonnade/textured config flips"

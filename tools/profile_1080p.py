@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--bounces", type=int, default=1)
     ap.add_argument("--scene", default="cornell")
     ap.add_argument("--traversal", default="auto")
+    ap.add_argument("--lowres-indirect", action="store_true",
+                    help="profile the progressive (UPSCALE2X) variant")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--frames", type=int, default=20)
     args = ap.parse_args()
@@ -29,7 +31,8 @@ def main():
     from capsaicin_tpu.scene import build_scene
     from capsaicin_tpu.scene.procedural import colonnade, cornell_box, make_camera
 
-    options = RenderOptions(num_diffuse_bounces=args.bounces)
+    options = RenderOptions(num_diffuse_bounces=args.bounces,
+                            lowres_indirect=args.lowres_indirect)
     session = RenderSession(
         width=args.width, height=args.height, options=options, traversal=args.traversal
     )
