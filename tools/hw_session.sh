@@ -58,5 +58,10 @@ run 4800 bench-all python bench.py --all
 run 1800 profile-textured python tools/profile_textured.py
 run 1800 profile-progressive python tools/profile_1080p.py \
   --width 1024 --height 1024 --lowres-indirect
+# fused EAW stage-pair A/B (same math, half the stencil dispatches/traffic)
+run 1200 bench-progressive-fused \
+  env CAPSAICIN_EAW_FUSED=1 python bench.py --config progressive
+run 1200 bench-progressive-ctl python bench.py --config progressive
+run 1200 bench-flagship-fused env CAPSAICIN_EAW_FUSED=1 python bench.py
 
 say "hw_session complete — read $LOG, decide colonnade/textured config flips"
