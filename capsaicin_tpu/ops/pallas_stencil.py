@@ -457,21 +457,23 @@ def eaw_blur_pair_planar(col_planar, geo_planar, stride_a, stride_b,
                 [col_planar, geo_planar], 4, n_side)
 
 
-def _use_fused_pairs() -> bool:
-    return os.environ.get("CAPSAICIN_EAW_FUSED") == "1"
-
-
 def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options,
-                  fused: bool = None):
+                  fused=None):
     """The full EAW chain (disocclusion + strides 1,3[,5,7]),
     raytracing_system.cpp:1437-1539, in planar space with one packing and
     one unpacking. Equals the jnp passes.denoise to fp tolerance.
 
-    fused=True (default: CAPSAICIN_EAW_FUSED=1) runs the Blur stages as
-    fused pairs (1+3, 5+7) — same math, half the kernel dispatches and HBM
-    round-trips, stage-A recompute inside VMEM."""
+    fused selects the Blur-stage fusion (same math either way):
+      falsy / "0"  — sequential stages (the default)
+      True / "1"   — fused pairs (1+3) and (5+7)
+      "13"         — fuse only (1+3); 5 and 7 stay sequential (the 5+7
+                     pair's n_side=3 window is the VMEM-riskiest kernel)
+    Default comes from CAPSAICIN_EAW_FUSED."""
     if fused is None:
-        fused = _use_fused_pairs()
+        fused = os.environ.get("CAPSAICIN_EAW_FUSED", "0")
+    if fused in (False, "0", ""):
+        fused = None  # sequential
+    fuse_57 = fused not in (None, "13")
     height, width = color4.shape[:2]
     geo = pack_geo(nd_normal, nd_depth, height, width)
     col = to_planar(
@@ -488,20 +490,22 @@ def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options,
     out = _run(functools.partial(_disocc_kernel, n_side), scal,
                [col, geo, mom], 4, n_side)
     strides = (1, 3, 5, 7) if options.eaw5 else (1, 3)
-    if fused:
-        for s_a, s_b in zip(strides[0::2], strides[1::2]):
-            out = eaw_blur_pair_planar(
-                repad_rows(out), geo, s_a, s_b, options.use_variance,
-                settings.eaw_normal_sigma, settings.eaw_depth_sigma,
-                settings.eaw_luma_sigma,
-            )
+    sig = (options.use_variance, settings.eaw_normal_sigma,
+           settings.eaw_depth_sigma, settings.eaw_luma_sigma)
+    steps = []  # 1- or 2-stride groups, in chain order
+    if fused is not None:
+        steps.append((1, 3))
+        if options.eaw5:
+            steps.append((5, 7) if fuse_57 else (5,))
+            if not fuse_57:
+                steps.append((7,))
     else:
-        for s in strides:
-            out = eaw_blur_planar(
-                repad_rows(out), geo, s, options.use_variance,
-                settings.eaw_normal_sigma, settings.eaw_depth_sigma,
-                settings.eaw_luma_sigma,
-            )
+        steps = [(s,) for s in strides]
+    for group in steps:
+        if len(group) == 2:
+            out = eaw_blur_pair_planar(repad_rows(out), geo, *group, *sig)
+        else:
+            out = eaw_blur_planar(repad_rows(out), geo, group[0], *sig)
     planes = from_planar(out, height, width)
     return jnp.stack(planes, axis=-1)
 

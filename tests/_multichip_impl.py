@@ -192,6 +192,21 @@ def main(n_dev: int) -> None:
     # both implementations agree with each other too
     np.testing.assert_allclose(want5p, want5, atol=1e-3)
 
+    # fused stage-pair chain (CAPSAICIN_EAW_FUSED) under the same halo_map
+    # placement: the pairs don't change the chain's image-space reach, so
+    # the halo plumbing must be oblivious to the fusion
+    os.environ["CAPSAICIN_EAW_FUSED"] = "1"
+    try:
+        with passes.stencil_spmd_scope(mesh):
+            got5f = jax.jit(
+                lambda c, n, mm: passes.denoise(c, n, mm, settings, opt5),
+                out_shardings=row,
+            )(c_sh, nd_sh, m_sh)
+    finally:
+        del os.environ["CAPSAICIN_EAW_FUSED"]
+    assert got5f.sharding.num_devices == n_dev, got5f.sharding
+    np.testing.assert_allclose(np.asarray(got5f), want5p, atol=1e-3)
+
     print(f"multichip impl OK ({n_dev} devices)")
 
 

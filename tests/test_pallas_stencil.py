@@ -69,7 +69,8 @@ def test_eaw_blur_no_variance_matches_jnp(rng):
 
 
 @pytest.mark.parametrize("eaw5", [False, True])
-def test_denoise_chain_fused_pairs_equal_sequential(rng, eaw5):
+@pytest.mark.parametrize("mode", [True, "13"])
+def test_denoise_chain_fused_pairs_equal_sequential(rng, eaw5, mode):
     """CAPSAICIN_EAW_FUSED pairs (1+3, 5+7) are the same math as the
     sequential stages — stage A recomputed over the slab stage B's taps
     reach, intermediate never leaving VMEM. Must match the sequential
@@ -88,7 +89,7 @@ def test_denoise_chain_fused_pairs_equal_sequential(rng, eaw5):
     fus = np.asarray(
         ps.denoise_chain(
             color4, m.oct_decode(nd["oct"]), nd["depth"], moments4, settings,
-            options, fused=True,
+            options, fused=mode,
         )
     )
     np.testing.assert_allclose(fus, seq, rtol=1e-6, atol=1e-7)

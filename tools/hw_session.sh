@@ -63,5 +63,8 @@ run 1200 bench-progressive-fused \
   env CAPSAICIN_EAW_FUSED=1 python bench.py --config progressive
 run 1200 bench-progressive-ctl python bench.py --config progressive
 run 1200 bench-flagship-fused env CAPSAICIN_EAW_FUSED=1 python bench.py
+# "13" fuses only the narrow (1+3) pair — the fallback if the (5+7)
+# pair's n_side=3 slab blows VMEM or regresses
+run 1200 bench-flagship-fused13 env CAPSAICIN_EAW_FUSED=13 python bench.py
 
 say "hw_session complete — read $LOG, decide colonnade/textured config flips"
