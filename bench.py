@@ -92,7 +92,17 @@ CONFIGS["colonnade_stream"] = dict(
     traversal="stream")
 CONFIGS["textured_u32"] = dict(
     width=1024, height=1024, bounces=1, scene="textured", atlas_u32=True)
-_AB_ONLY = ("colonnade_stream", "textured_u32")
+# render_loop(16) variants: the product on-device frame loop (fixed-chunk
+# dispatches since round 4) amortizes the ~1-2 ms host/tunnel launch cost;
+# round 3 measured direct512 148.4 -> 181.2 Mrays/s at k=16
+CONFIGS["direct512_loop16"] = dict(
+    **{**CONFIGS["direct512"], "frames_per_dispatch": 16})
+CONFIGS["progressive_loop16"] = dict(
+    **{**CONFIGS["progressive"], "frames_per_dispatch": 16})
+CONFIGS["textured_loop16"] = dict(
+    **{**CONFIGS["textured"], "frames_per_dispatch": 16})
+_AB_ONLY = ("colonnade_stream", "textured_u32", "direct512_loop16",
+            "progressive_loop16", "textured_loop16")
 ALL_CONFIGS = [n for n in CONFIGS if n not in _AB_ONLY]
 
 # the driver's required single-line metric comes from this config
@@ -198,7 +208,9 @@ def main():
             lowres=cfg.get("options", {}).get("lowres_indirect", False),
             extra_options={k: v for k, v in cfg.get("options", {}).items()
                            if k != "lowres_indirect"},
-            spp=args.spp, frames_per_dispatch=args.frames_per_dispatch,
+            spp=args.spp,
+            frames_per_dispatch=cfg.get("frames_per_dispatch",
+                                        args.frames_per_dispatch),
             atlas_u32=cfg.get("atlas_u32", False),
         )
 

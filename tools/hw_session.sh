@@ -66,5 +66,11 @@ run 1200 bench-flagship-fused env CAPSAICIN_EAW_FUSED=1 python bench.py
 # "13" fuses only the narrow (1+3) pair — the fallback if the (5+7)
 # pair's n_side=3 slab blows VMEM or regresses
 run 1200 bench-flagship-fused13 env CAPSAICIN_EAW_FUSED=13 python bench.py
+# render_loop(16) product frame loop: amortizes the ~1-2 ms host/tunnel
+# dispatch cost (round 3: direct512 148.4 -> 181.2); fixed-chunk dispatch
+# keeps it two compiled programs for any frame count
+run 1200 bench-direct512-loop16 python bench.py --config direct512_loop16
+run 1200 bench-progressive-loop16 python bench.py --config progressive_loop16
+run 1200 bench-textured-loop16 python bench.py --config textured_loop16
 
 say "hw_session complete — read $LOG, decide colonnade/textured config flips"
