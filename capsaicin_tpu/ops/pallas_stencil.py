@@ -51,21 +51,32 @@ def _use_interpret():
     return jax.default_backend() != "tpu"
 
 
-def _n_side(max_row_offset: int) -> int:
-    return -(-max_row_offset // TILE)
+def _layout(dtype):
+    """(tile, pad_blocks) for a planar storage dtype. bf16 rows tile at 16
+    on TPU, so the row block doubles and every single-stride window becomes
+    3 blocks; the deepest fused pair (5+7, row reach 24) needs 2 pad
+    blocks."""
+    if dtype == jnp.bfloat16:
+        return 16, 2
+    return TILE, PAD_BLOCKS
+
+
+def _n_side(max_row_offset: int, tile: int = TILE) -> int:
+    return -(-max_row_offset // tile)
 
 
 def _col_pad_right(width: int) -> int:
     return COL_PAD + ((-width - 2 * COL_PAD) % 128)
 
 
-def to_planar(channels, height: int, width: int):
+def to_planar(channels, height: int, width: int, dtype=jnp.float32):
     """List of [H,W] planes -> padded planar
-    [C, PAD_BLOCKS*TILE + Hp + PAD_BLOCKS*TILE, Wp]."""
-    img = jnp.stack(channels, axis=0)  # [C, H, W]
-    hp = -(-height // TILE) * TILE
+    [C, pad_blocks*tile + Hp + pad_blocks*tile, Wp] in the storage dtype."""
+    tile, pad_blocks = _layout(dtype)
+    img = jnp.stack(channels, axis=0).astype(dtype)  # [C, H, W]
+    hp = -(-height // tile) * tile
     pr = _col_pad_right(width)
-    pad = PAD_BLOCKS * TILE
+    pad = pad_blocks * tile
     return jnp.pad(
         img,
         ((0, 0), (pad, pad + hp - height), (COL_PAD, pr)),
@@ -75,7 +86,8 @@ def to_planar(channels, height: int, width: int):
 
 def repad_rows(planar_out):
     """Kernel output [C, Hp, Wp] -> chain input with row pads restored."""
-    pad = PAD_BLOCKS * TILE
+    tile, pad_blocks = _layout(planar_out.dtype)
+    pad = pad_blocks * tile
     return jnp.pad(planar_out, ((0, 0), (pad, pad), (0, 0)), mode="constant")
 
 
@@ -110,8 +122,10 @@ def _edge_weights(cn, cd, tn, td, s_normal, s_depth_r):
 
 
 def _stack(refs):
-    """Concat a window's row blocks [C,TILE,Wp] -> [C, n*TILE, Wp]."""
-    return jnp.concatenate([r[:] for r in refs], axis=1)
+    """Concat a window's row blocks [C,tile,Wp] -> [C, n*tile, Wp],
+    upcast to f32 (compute is always f32; only storage may be bf16)."""
+    return jnp.concatenate(
+        [r[:].astype(jnp.float32) for r in refs], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -193,7 +207,15 @@ def _eaw_stage(col3, geo3, stride, use_variance, s_normal, s_depth, s_luma,
     )
 
 
-def _eaw_kernel(stride, use_variance, n_side, scal_ref, *refs):
+def _store4(out_ref, out):
+    dt = out_ref.dtype
+    out_ref[0] = out[0].astype(dt)
+    out_ref[1] = out[1].astype(dt)
+    out_ref[2] = out[2].astype(dt)
+    out_ref[3] = out[3].astype(dt)
+
+
+def _eaw_kernel(stride, use_variance, n_side, tile, scal_ref, *refs):
     nblk = 2 * n_side + 1
     col_refs = refs[:nblk]
     geo_refs = refs[nblk : 2 * nblk]
@@ -201,15 +223,13 @@ def _eaw_kernel(stride, use_variance, n_side, scal_ref, *refs):
     out = _eaw_stage(
         _stack(col_refs), _stack(geo_refs), stride, use_variance,
         scal_ref[0, 0], scal_ref[0, 1], scal_ref[0, 2],
-        n_side * TILE, TILE,
+        n_side * tile, tile,
     )
-    out_ref[0] = out[0]
-    out_ref[1] = out[1]
-    out_ref[2] = out[2]
-    out_ref[3] = out[3]
+    _store4(out_ref, out)
 
 
-def _eaw_pair_kernel(stride_a, stride_b, use_variance, n_side, scal_ref, *refs):
+def _eaw_pair_kernel(stride_a, stride_b, use_variance, n_side, tile,
+                     scal_ref, *refs):
     """Two back-to-back Blur stages in ONE kernel: stage A is computed over
     the wider slab stage B's taps reach ([c0 - 2*sB, c0 + TILE + 2*sB)),
     then stage B consumes it from VMEM — the intermediate image never
@@ -227,17 +247,14 @@ def _eaw_pair_kernel(stride_a, stride_b, use_variance, n_side, scal_ref, *refs):
 
     col3 = _stack(col_refs)
     geo3 = _stack(geo_refs)
-    c0 = n_side * TILE
+    c0 = n_side * tile
     lo = c0 - 2 * stride_b
-    n_a = TILE + 4 * stride_b
+    n_a = tile + 4 * stride_b
     a_out = _eaw_stage(col3, geo3, stride_a, use_variance,
                        s_normal, s_depth, s_luma, lo, n_a)
     out = _eaw_stage(a_out, geo3[:, lo : lo + n_a, :], stride_b, use_variance,
-                     s_normal, s_depth, s_luma, 2 * stride_b, TILE)
-    out_ref[0] = out[0]
-    out_ref[1] = out[1]
-    out_ref[2] = out[2]
-    out_ref[3] = out[3]
+                     s_normal, s_depth, s_luma, 2 * stride_b, tile)
+    _store4(out_ref, out)
 
 
 # ---------------------------------------------------------------------------
@@ -245,7 +262,7 @@ def _eaw_pair_kernel(stride_a, stride_b, use_variance, n_side, scal_ref, *refs):
 # variance estimate where history < 8 frames
 
 
-def _disocc_kernel(n_side, scal_ref, *refs):
+def _disocc_kernel(n_side, tile, scal_ref, *refs):
     nblk = 2 * n_side + 1
     col_refs = refs[:nblk]
     geo_refs = refs[nblk : 2 * nblk]
@@ -262,10 +279,10 @@ def _disocc_kernel(n_side, scal_ref, *refs):
         [jnp.minimum(col3[:3], FIREFLY_CLAMP), col3[3:4]], axis=0
     )
 
-    c0 = n_side * TILE
-    cc = col3[:, c0 : c0 + TILE, :]
-    gc = geo3[:, c0 : c0 + TILE, :]
-    mc = mom3[:, c0 : c0 + TILE, :]
+    c0 = n_side * tile
+    cc = col3[:, c0 : c0 + tile, :]
+    gc = geo3[:, c0 : c0 + tile, :]
+    mc = mom3[:, c0 : c0 + tile, :]
     cr, cg, cb, cv = cc[0], cc[1], cc[2], cc[3]
     cn = (gc[0], gc[1], gc[2])
     cd = gc[3]
@@ -281,9 +298,9 @@ def _disocc_kernel(n_side, scal_ref, *refs):
     tw = jnp.zeros_like(cr)
     for dy in range(-3, 4):
         r0 = c0 + dy
-        c_dy = col3[:, r0 : r0 + TILE, :]
-        g_dy = geo3[:, r0 : r0 + TILE, :]
-        m_dy = mom3[:, r0 : r0 + TILE, :]
+        c_dy = col3[:, r0 : r0 + tile, :]
+        g_dy = geo3[:, r0 : r0 + tile, :]
+        m_dy = mom3[:, r0 : r0 + tile, :]
         for dx in range(-3, 4):
             ct = _roll_cols(c_dy, dx)
             gt = _roll_cols(g_dy, dx)
@@ -313,17 +330,19 @@ def _disocc_kernel(n_side, scal_ref, *refs):
     f_v = boost * jnp.abs(f_m2 - f_m1 * f_m1)
 
     passthrough = (cd < 1e-5) | (hist_len >= SPATIAL_VARIANCE_THRESHOLD)
-    out_ref[0] = jnp.where(passthrough, cr, f_r)
-    out_ref[1] = jnp.where(passthrough, cg, f_g)
-    out_ref[2] = jnp.where(passthrough, cb, f_b)
-    out_ref[3] = jnp.where(passthrough, cv, f_v)
+    _store4(out_ref, (
+        jnp.where(passthrough, cr, f_r),
+        jnp.where(passthrough, cg, f_g),
+        jnp.where(passthrough, cb, f_b),
+        jnp.where(passthrough, cv, f_v),
+    ))
 
 
 # ---------------------------------------------------------------------------
 # Spatial gather (spatial_gather.hlsl): 7x7 cross-bilateral on raw indirect
 
 
-def _gather_kernel(n_side, scal_ref, *refs):
+def _gather_kernel(n_side, tile, scal_ref, *refs):
     nblk = 2 * n_side + 1
     col_refs = refs[:nblk]
     geo_refs = refs[nblk : 2 * nblk]
@@ -335,9 +354,9 @@ def _gather_kernel(n_side, scal_ref, *refs):
     col3 = _stack(col_refs)
     geo3 = _stack(geo_refs)
 
-    c0 = n_side * TILE
-    cc = col3[:, c0 : c0 + TILE, :]
-    gc = geo3[:, c0 : c0 + TILE, :]
+    c0 = n_side * tile
+    cc = col3[:, c0 : c0 + tile, :]
+    gc = geo3[:, c0 : c0 + tile, :]
     cr, cg, cb = cc[0], cc[1], cc[2]
     cn = (gc[0], gc[1], gc[2])
     cd = gc[3]
@@ -350,8 +369,8 @@ def _gather_kernel(n_side, scal_ref, *refs):
     tw = jnp.zeros_like(cr)
     for dy in range(-3, 4):
         r0 = c0 + dy
-        c_dy = col3[:, r0 : r0 + TILE, :]
-        g_dy = geo3[:, r0 : r0 + TILE, :]
+        c_dy = col3[:, r0 : r0 + tile, :]
+        g_dy = geo3[:, r0 : r0 + tile, :]
         for dx in range(-3, 4):
             ct = _roll_cols(c_dy, dx)
             gt = _roll_cols(g_dy, dx)
@@ -373,35 +392,39 @@ def _gather_kernel(n_side, scal_ref, *refs):
     out_g = jnp.where(low, cg, acc_g * inv)
     out_b = jnp.where(low, cb, acc_b * inv)
     background = cd < 1e-5
-    out_ref[0] = jnp.where(background, cr, out_r)
-    out_ref[1] = jnp.where(background, cg, out_g)
-    out_ref[2] = jnp.where(background, cb, out_b)
+    dt = out_ref.dtype
+    out_ref[0] = jnp.where(background, cr, out_r).astype(dt)
+    out_ref[1] = jnp.where(background, cg, out_g).astype(dt)
+    out_ref[2] = jnp.where(background, cb, out_b).astype(dt)
 
 
 # ---------------------------------------------------------------------------
 # Runners
 
 
-def _run(kernel, scal, planars, out_channels: int, n_side: int):
-    """planars: padded planar arrays [C_i, PAD*TILE + Hp + PAD*TILE, Wp];
-    runs the kernel over row tiles, giving it the 2*n_side+1 row blocks
-    around each output tile for every input. Returns [out_channels, Hp, Wp].
-    """
-    assert n_side <= PAD_BLOCKS
+def _run(kernel, scal, planars, out_channels: int, n_side: int,
+         dtype=jnp.float32):
+    """planars: padded planar arrays [C_i, pad*tile + Hp + pad*tile, Wp] in
+    `dtype`; runs the kernel over row tiles, giving it the 2*n_side+1 row
+    blocks around each output tile for every input. Returns
+    [out_channels, Hp, Wp] in `dtype` (compute is f32 either way)."""
+    tile, pad_blocks = _layout(dtype)
+    assert n_side <= pad_blocks
     rows = planars[0].shape[1]
     wp = planars[0].shape[2]
-    hp = rows - 2 * PAD_BLOCKS * TILE
-    nb = hp // TILE
-    base = PAD_BLOCKS - n_side  # first row block of the window for i=0
+    hp = rows - 2 * pad_blocks * tile
+    nb = hp // tile
+    base = pad_blocks - n_side  # first row block of the window for i=0
 
     in_specs = [pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM)]
     args = [scal]
     for p in planars:
+        assert p.dtype == dtype, (p.dtype, dtype)
         c = p.shape[0]
         for off in range(2 * n_side + 1):
             in_specs.append(
                 pl.BlockSpec(
-                    (c, TILE, wp),
+                    (c, tile, wp),
                     functools.partial(lambda i, o: (0, i + o, 0), o=base + off),
                     memory_space=pltpu.VMEM,
                 )
@@ -409,14 +432,14 @@ def _run(kernel, scal, planars, out_channels: int, n_side: int):
             args.append(p)
 
     out_spec = pl.BlockSpec(
-        (out_channels, TILE, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        (out_channels, tile, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM
     )
     return pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((out_channels, hp, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((out_channels, hp, wp), dtype),
         interpret=_use_interpret(),
     )(*args)
 
@@ -428,11 +451,11 @@ def _scal(*vals):
     ).reshape(1, 8)
 
 
-def pack_geo(nd_normal, nd_depth, height: int, width: int):
+def pack_geo(nd_normal, nd_depth, height: int, width: int, dtype=jnp.float32):
     """Decoded normals [H,W,3] + depth [H,W] -> padded geo planar [4,...]."""
     return to_planar(
         [nd_normal[..., 0], nd_normal[..., 1], nd_normal[..., 2], nd_depth],
-        height, width,
+        height, width, dtype=dtype,
     )
 
 
@@ -440,25 +463,27 @@ def eaw_blur_planar(col_planar, geo_planar, stride: int, use_variance: bool,
                     s_normal, s_depth, s_luma):
     """One Blur dispatch at planar level: col_planar is the padded [4,...]
     (rgb, var). Returns the unpadded planar output [4, Hp, Wp]."""
-    n_side = _n_side(2 * stride)
-    kernel = functools.partial(_eaw_kernel, stride, use_variance, n_side)
+    tile, _ = _layout(col_planar.dtype)
+    n_side = _n_side(2 * stride, tile)
+    kernel = functools.partial(_eaw_kernel, stride, use_variance, n_side, tile)
     return _run(kernel, _scal(s_normal, s_depth, s_luma),
-                [col_planar, geo_planar], 4, n_side)
+                [col_planar, geo_planar], 4, n_side, dtype=col_planar.dtype)
 
 
 def eaw_blur_pair_planar(col_planar, geo_planar, stride_a, stride_b,
                          use_variance: bool, s_normal, s_depth, s_luma):
     """Two Blur dispatches fused into one kernel (see _eaw_pair_kernel)."""
-    n_side = _n_side(2 * stride_a + 2 * stride_b)
+    tile, _ = _layout(col_planar.dtype)
+    n_side = _n_side(2 * stride_a + 2 * stride_b, tile)
     kernel = functools.partial(
-        _eaw_pair_kernel, stride_a, stride_b, use_variance, n_side
+        _eaw_pair_kernel, stride_a, stride_b, use_variance, n_side, tile
     )
     return _run(kernel, _scal(s_normal, s_depth, s_luma),
-                [col_planar, geo_planar], 4, n_side)
+                [col_planar, geo_planar], 4, n_side, dtype=col_planar.dtype)
 
 
 def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options,
-                  fused=None):
+                  fused=None, storage=None):
     """The full EAW chain (disocclusion + strides 1,3[,5,7]),
     raytracing_system.cpp:1437-1539, in planar space with one packing and
     one unpacking. Equals the jnp passes.denoise to fp tolerance.
@@ -468,27 +493,39 @@ def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options,
       True / "1"   — fused pairs (1+3) and (5+7)
       "13"         — fuse only (1+3); 5 and 7 stay sequential (the 5+7
                      pair's n_side=3 window is the VMEM-riskiest kernel)
-    Default comes from CAPSAICIN_EAW_FUSED."""
+    Default comes from CAPSAICIN_EAW_FUSED.
+
+    storage selects the planar HBM dtype (compute stays f32 in VMEM):
+      falsy / "0" — f32 (exact; the default, from CAPSAICIN_EAW_BF16)
+      True / "1"  — bf16: halves the chain's HBM traffic for ~3e-3 max
+                    storage-rounding error per stage. Analogous to the
+                    reference running these passes on RGBA16F targets
+                    rather than fp32 (raytracing_system.cpp pass buffers)."""
     if fused is None:
         fused = os.environ.get("CAPSAICIN_EAW_FUSED", "0")
     if fused in (False, "0", ""):
         fused = None  # sequential
     fuse_57 = fused not in (None, "13")
+    if storage is None:
+        storage = os.environ.get("CAPSAICIN_EAW_BF16", "0")
+    dtype = jnp.bfloat16 if storage in (True, "1") else jnp.float32
+    tile, _ = _layout(dtype)
     height, width = color4.shape[:2]
-    geo = pack_geo(nd_normal, nd_depth, height, width)
+    geo = pack_geo(nd_normal, nd_depth, height, width, dtype=dtype)
     col = to_planar(
         [color4[..., 0], color4[..., 1], color4[..., 2], color4[..., 3]],
-        height, width,
+        height, width, dtype=dtype,
     )
     mom = to_planar(
-        [moments4[..., 0], moments4[..., 1], moments4[..., 3]], height, width
+        [moments4[..., 0], moments4[..., 1], moments4[..., 3]], height, width,
+        dtype=dtype,
     )
     scal = _scal(
         settings.eaw_normal_sigma, settings.eaw_depth_sigma, settings.eaw_luma_sigma
     )
-    n_side = _n_side(3)
-    out = _run(functools.partial(_disocc_kernel, n_side), scal,
-               [col, geo, mom], 4, n_side)
+    n_side = _n_side(3, tile)
+    out = _run(functools.partial(_disocc_kernel, n_side, tile), scal,
+               [col, geo, mom], 4, n_side, dtype=dtype)
     strides = (1, 3, 5, 7) if options.eaw5 else (1, 3)
     sig = (options.use_variance, settings.eaw_normal_sigma,
            settings.eaw_depth_sigma, settings.eaw_luma_sigma)
@@ -507,7 +544,7 @@ def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options,
         else:
             out = eaw_blur_planar(repad_rows(out), geo, group[0], *sig)
     planes = from_planar(out, height, width)
-    return jnp.stack(planes, axis=-1)
+    return jnp.stack(planes, axis=-1).astype(jnp.float32)
 
 
 def spatial_gather(indirect, nd_normal, nd_depth, settings):
@@ -523,6 +560,6 @@ def spatial_gather(indirect, nd_normal, nd_depth, settings):
         settings.gather_luma_sigma,
     )
     n_side = _n_side(3)
-    out = _run(functools.partial(_gather_kernel, n_side), scal,
+    out = _run(functools.partial(_gather_kernel, n_side, TILE), scal,
                [col, geo], 3, n_side)
     return jnp.stack(from_planar(out, height, width), axis=-1)

@@ -50,8 +50,11 @@ def test_stream_kernel_lowers_for_tpu(monkeypatch, rays, variant):
     _lower_tpu(fn, sbvh, o, d)
 
 
-@pytest.mark.parametrize("fused", [None, True, "13"])
-def test_denoise_chain_lowers_for_tpu(monkeypatch, fused):
+@pytest.mark.parametrize("fused,storage", [
+    (None, False), (True, False), ("13", False),
+    (None, True), (True, True),  # bf16 storage (16-row tile layout)
+])
+def test_denoise_chain_lowers_for_tpu(monkeypatch, fused, storage):
     from capsaicin_tpu.ops import pallas_stencil as ps
     from capsaicin_tpu.render.settings import RenderOptions, default_settings
 
@@ -66,5 +69,5 @@ def test_denoise_chain_lowers_for_tpu(monkeypatch, fused):
     opt = RenderOptions(eaw5=True)
     _lower_tpu(
         lambda c, nn, dd, m: ps.denoise_chain(c, nn, dd, m, settings, opt,
-                                              fused=fused),
+                                              fused=fused, storage=storage),
         col, nrm, dep, mom)

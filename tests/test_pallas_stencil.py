@@ -109,3 +109,48 @@ def test_spatial_gather_matches_jnp(rng):
         ps.spatial_gather(indirect, m.oct_decode(nd["oct"]), nd["depth"], settings)
     )
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("eaw5", [False, True])
+@pytest.mark.parametrize("fused", [False, True])
+def test_denoise_chain_bf16_storage_close_to_f32(rng, eaw5, fused):
+    """CAPSAICIN_EAW_BF16 stores the planar chain buffers in bf16 through
+    HBM (compute stays f32 in VMEM) on a 16-row tile layout — the analog
+    of the reference running these passes on reduced-precision (RGBA16F)
+    targets instead of fp32.
+
+    The meaningful bound is vs the f32 chain on bf16-ROUNDED inputs: that
+    isolates the chain's own per-stage storage rounding from the one-time
+    input quantization, which on white-noise test data gets amplified
+    arbitrarily by the exp(-|Δluma|/σ) weights (a property of ANY reduced
+    -precision input, not of this kernel; real renders are smooth)."""
+    h, w = 40, 150
+    color4, nd, moments4 = _fake_buffers(rng, h, w)
+    settings = default_settings()
+    options = RenderOptions(eaw5=eaw5)
+    norm = m.oct_decode(nd["oct"])
+
+    def rounded(x):
+        return jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)
+
+    f32r = np.asarray(
+        ps.denoise_chain(
+            rounded(color4), rounded(norm), rounded(nd["depth"]),
+            rounded(moments4), settings, options, fused=fused, storage=False,
+        )
+    )
+    b16 = np.asarray(
+        ps.denoise_chain(
+            color4, norm, nd["depth"], moments4, settings,
+            options, fused=fused, storage=True,
+        )
+    )
+    assert b16.dtype == np.float32
+    scale = np.maximum(np.abs(f32r), 1.0)
+    rel = np.abs(b16 - f32r) / scale
+    # rgb is what the display path consumes; the variance channel rides
+    # squared weights + the disocclusion boost, so it is inherently looser
+    # (and nothing downstream of the chain reads it)
+    assert rel[..., :3].max() < 5e-2, rel[..., :3].max()
+    assert np.sqrt((rel[..., :3] ** 2).mean()) < 2e-3
+    assert rel[..., 3].max() < 0.15, rel[..., 3].max()

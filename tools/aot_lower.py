@@ -88,14 +88,16 @@ def check_stencil():
     dep = jnp.asarray(rng.rand(h, w), jnp.float32)
     mom = jnp.asarray(rng.rand(h, w, 4), jnp.float32)
     settings = default_settings()
-    for label, opt, fused in [
-        ("chain eaw5", RenderOptions(eaw5=True), None),
-        ("chain fused", RenderOptions(eaw5=True), True),
-        ("chain fused13", RenderOptions(eaw5=True), "13"),
+    for label, opt, fused, storage in [
+        ("chain eaw5", RenderOptions(eaw5=True), None, False),
+        ("chain fused", RenderOptions(eaw5=True), True, False),
+        ("chain fused13", RenderOptions(eaw5=True), "13", False),
+        ("chain bf16", RenderOptions(eaw5=True), None, True),
+        ("chain bf16+fused", RenderOptions(eaw5=True), True, True),
     ]:
         n = _lower_tpu(
             lambda c, nn, dd, m: ps.denoise_chain(
-                c, nn, dd, m, settings, opt, fused=fused),
+                c, nn, dd, m, settings, opt, fused=fused, storage=storage),
             col, nrm, dep, mom)
         print(f"  stencil {label}: OK ({n} chars)")
 

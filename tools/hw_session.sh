@@ -72,5 +72,13 @@ run 1200 bench-flagship-fused13 env CAPSAICIN_EAW_FUSED=13 python bench.py
 run 1200 bench-direct512-loop16 python bench.py --config direct512_loop16
 run 1200 bench-progressive-loop16 python bench.py --config progressive_loop16
 run 1200 bench-textured-loop16 python bench.py --config textured_loop16
+# bf16 planar storage for the EAW chain (compute stays f32): halves the
+# chain's HBM traffic; composable with FUSED (independent A/B first)
+run 1200 bench-flagship-bf16 env CAPSAICIN_EAW_BF16=1 python bench.py
+run 1200 bench-progressive-bf16 \
+  env CAPSAICIN_EAW_BF16=1 python bench.py --config progressive
+run 1200 bench-progressive-bf16-fused \
+  env CAPSAICIN_EAW_BF16=1 CAPSAICIN_EAW_FUSED=1 \
+  python bench.py --config progressive
 
 say "hw_session complete — read $LOG, decide colonnade/textured config flips"
