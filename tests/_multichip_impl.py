@@ -207,6 +207,27 @@ def main(n_dev: int) -> None:
     assert got5f.sharding.num_devices == n_dev, got5f.sharding
     np.testing.assert_allclose(np.asarray(got5f), want5p, atol=1e-3)
 
+    # bf16 planar storage (CAPSAICIN_EAW_BF16) under halo_map: the 16-row
+    # tile layout is internal to the chain, so the halo plumbing must not
+    # care. Compared against the LOCAL bf16 chain: f32 reassociation drift
+    # can flip bf16 storage-rounding boundaries, so the bound is looser
+    # than the f32 checks (this is a plumbing test; accuracy has its own
+    # gate in test_pallas_stencil).
+    os.environ["CAPSAICIN_EAW_BF16"] = "1"
+    try:
+        want5b = np.asarray(passes.denoise(color4, nd5, m4, settings, opt5))
+        with passes.stencil_spmd_scope(mesh):
+            got5b = jax.jit(
+                lambda c, n, mm: passes.denoise(c, n, mm, settings, opt5),
+                out_shardings=row,
+            )(c_sh, nd_sh, m_sh)
+    finally:
+        del os.environ["CAPSAICIN_EAW_BF16"]
+    assert got5b.sharding.num_devices == n_dev, got5b.sharding
+    np.testing.assert_allclose(np.asarray(got5b), want5b, atol=5e-2)
+    rms = float(np.sqrt(((np.asarray(got5b) - want5b) ** 2).mean()))
+    assert rms < 5e-3, rms
+
     print(f"multichip impl OK ({n_dev} devices)")
 
 
