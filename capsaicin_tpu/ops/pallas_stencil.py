@@ -547,19 +547,28 @@ def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options,
     return jnp.stack(planes, axis=-1).astype(jnp.float32)
 
 
-def spatial_gather(indirect, nd_normal, nd_depth, settings):
-    """7x7 edge-aware cross-bilateral filter (spatial_gather.hlsl)."""
+def spatial_gather(indirect, nd_normal, nd_depth, settings, storage=None):
+    """7x7 edge-aware cross-bilateral filter (spatial_gather.hlsl).
+
+    storage as in denoise_chain: CAPSAICIN_EAW_BF16=1 moves the planar
+    I/O to bf16 (compute stays f32 in VMEM)."""
+    if storage is None:
+        storage = os.environ.get("CAPSAICIN_EAW_BF16", "0")
+    dtype = jnp.bfloat16 if storage in (True, "1") else jnp.float32
+    tile, _ = _layout(dtype)
     height, width = indirect.shape[:2]
-    geo = pack_geo(nd_normal, nd_depth, height, width)
+    geo = pack_geo(nd_normal, nd_depth, height, width, dtype=dtype)
     col = to_planar(
-        [indirect[..., 0], indirect[..., 1], indirect[..., 2]], height, width
+        [indirect[..., 0], indirect[..., 1], indirect[..., 2]], height, width,
+        dtype=dtype,
     )
     scal = _scal(
         settings.gather_normal_sigma,
         settings.gather_depth_sigma,
         settings.gather_luma_sigma,
     )
-    n_side = _n_side(3)
-    out = _run(functools.partial(_gather_kernel, n_side, TILE), scal,
-               [col, geo], 3, n_side)
-    return jnp.stack(from_planar(out, height, width), axis=-1)
+    n_side = _n_side(3, tile)
+    out = _run(functools.partial(_gather_kernel, n_side, tile), scal,
+               [col, geo], 3, n_side, dtype=dtype)
+    return jnp.stack(
+        from_planar(out, height, width), axis=-1).astype(jnp.float32)

@@ -154,3 +154,26 @@ def test_denoise_chain_bf16_storage_close_to_f32(rng, eaw5, fused):
     assert rel[..., :3].max() < 5e-2, rel[..., :3].max()
     assert np.sqrt((rel[..., :3] ** 2).mean()) < 2e-3
     assert rel[..., 3].max() < 0.15, rel[..., 3].max()
+
+
+def test_spatial_gather_bf16_storage_close_to_f32(rng):
+    """bf16 planar I/O for the gather kernel, same bound structure as the
+    chain test: vs the f32 kernel on bf16-rounded inputs."""
+    h, w = 40, 150
+    color4, nd, _ = _fake_buffers(rng, h, w)
+    indirect = color4[..., :3]
+    settings = default_settings()
+    norm = m.oct_decode(nd["oct"])
+
+    def rounded(x):
+        return jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)
+
+    f32r = np.asarray(ps.spatial_gather(
+        rounded(indirect), rounded(norm), rounded(nd["depth"]), settings,
+        storage=False))
+    b16 = np.asarray(ps.spatial_gather(
+        indirect, norm, nd["depth"], settings, storage=True))
+    assert b16.dtype == np.float32
+    rel = np.abs(b16 - f32r) / np.maximum(np.abs(f32r), 1.0)
+    assert rel.max() < 5e-2, rel.max()
+    assert np.sqrt((rel ** 2).mean()) < 2e-3

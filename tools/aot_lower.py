@@ -113,9 +113,12 @@ def check_gather():
     nrm = jnp.asarray(rng.rand(h, w, 3), jnp.float32)
     dep = jnp.asarray(rng.rand(h, w), jnp.float32)
     settings = default_settings()
-    n = _lower_tpu(lambda c, nn, dd: ps.spatial_gather(c, nn, dd, settings),
-                   col, nrm, dep)
-    print(f"  gather: OK ({n} chars)")
+    for label, storage in [("f32", False), ("bf16", True)]:
+        n = _lower_tpu(
+            lambda c, nn, dd: ps.spatial_gather(c, nn, dd, settings,
+                                                storage=storage),
+            col, nrm, dep)
+        print(f"  gather {label}: OK ({n} chars)")
 
 
 def check_brute():
