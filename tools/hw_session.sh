@@ -70,6 +70,7 @@ run 1200 bench-flagship-fused13 env CAPSAICIN_EAW_FUSED=13 python bench.py
 # dispatch cost (round 3: direct512 148.4 -> 181.2); fixed-chunk dispatch
 # keeps it two compiled programs for any frame count
 run 1200 bench-direct512-loop16 python bench.py --config direct512_loop16
+run 2400 bench-flagship-loop16 python bench.py --frames-per-dispatch 16
 run 1200 bench-progressive-loop16 python bench.py --config progressive_loop16
 run 1200 bench-textured-loop16 python bench.py --config textured_loop16
 # bf16 planar storage for the EAW chain (compute stays f32): halves the
