@@ -101,8 +101,10 @@ CONFIGS["progressive_loop16"] = dict(
     **{**CONFIGS["progressive"], "frames_per_dispatch": 16})
 CONFIGS["textured_loop16"] = dict(
     **{**CONFIGS["textured"], "frames_per_dispatch": 16})
+CONFIGS["gi1080_loop16"] = dict(
+    **{**CONFIGS["gi1080"], "frames_per_dispatch": 16})
 _AB_ONLY = ("colonnade_stream", "textured_u32", "direct512_loop16",
-            "progressive_loop16", "textured_loop16")
+            "progressive_loop16", "textured_loop16", "gi1080_loop16")
 ALL_CONFIGS = [n for n in CONFIGS if n not in _AB_ONLY]
 
 # the driver's required single-line metric comes from this config

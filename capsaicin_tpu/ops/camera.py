@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import mathops as m
 from . import sampling
@@ -25,9 +26,12 @@ class Camera(NamedTuple):
     up: jnp.ndarray  # [3]
     focal_length: jnp.ndarray  # scalar
     sensor_size: jnp.ndarray  # [2] (width, height) in meters
-    znear: jnp.ndarray = jnp.float32(0.0)
-    focus_distance: jnp.ndarray = jnp.float32(0.0)
-    aperture: jnp.ndarray = jnp.float32(0.0)
+    # NumPy defaults on purpose: jnp defaults would run at class-definition
+    # (package-import) time and initialize the device backend — hanging
+    # `import capsaicin_tpu` whenever the TPU tunnel is unreachable.
+    znear: jnp.ndarray = np.float32(0.0)
+    focus_distance: jnp.ndarray = np.float32(0.0)
+    aperture: jnp.ndarray = np.float32(0.0)
 
 
 def default_camera(aspect: float = 1080.0 / 1920.0) -> Camera:

@@ -18,8 +18,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INF = jnp.float32(1e30)
+# np.float32 on purpose: a module-level jnp scalar initializes the device
+# backend at import time (hangs `import capsaicin_tpu` if the TPU is down)
+INF = np.float32(1e30)
 
 
 def _mt_block(o, d, v0, e1, e2, tmin, tmax):

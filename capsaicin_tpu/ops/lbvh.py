@@ -25,8 +25,11 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-INF = jnp.float32(3e38)
+# np.float32 on purpose: a module-level jnp scalar initializes the device
+# backend at import time (hangs `import capsaicin_tpu` if the TPU is down)
+INF = np.float32(3e38)
 
 
 class BVH(NamedTuple):

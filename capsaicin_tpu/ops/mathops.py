@@ -12,9 +12,12 @@ axis of size 3 (or 2) so they vectorize over arbitrary pixel/ray batches.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 EPS = 1e-8
-INVALID_ID = jnp.int32(-1)  # reference uses ~0u (INVALID_ID, data_payload.h:5)
+# NumPy on purpose (module-level jnp constants would initialize the device
+# backend at import time); reference uses ~0u (INVALID_ID, data_payload.h:5)
+INVALID_ID = np.int32(-1)
 
 
 def dot(a, b):

@@ -13,6 +13,7 @@ Everything is vectorized: pixel coordinates come in as integer arrays
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from . import mathops as m
 
@@ -21,7 +22,10 @@ PI = 3.141592653589793
 GOLDEN = 0.61803398875
 
 # Halton (2,3) 8-entry subpixel jitter table (sampling.h:139-152).
-HALTON23 = jnp.array(
+# NumPy on purpose: a module-level jnp constant would initialize the device
+# backend at import time (hanging `import capsaicin_tpu` entirely when the
+# TPU tunnel is down); numpy constants convert at trace time instead.
+HALTON23 = np.array(
     [
         [0.5, 1.0 / 3.0],
         [0.25, 2.0 / 3.0],
@@ -32,13 +36,13 @@ HALTON23 = jnp.array(
         [0.875, 5.0 / 9.0],
         [0.0625, 8.0 / 9.0],
     ],
-    dtype=jnp.float32,
+    dtype=np.float32,
 )
 
 
 def sample2d_halton23(frame_count):
     """Per-frame subpixel jitter; sampling.h:139-152."""
-    return HALTON23[jnp.asarray(frame_count) % 8]
+    return jnp.asarray(HALTON23)[jnp.asarray(frame_count) % 8]
 
 
 def wang_hash(xy):

@@ -24,11 +24,14 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .lbvh import BVH
 
-INF = jnp.float32(1e30)
-BIG = jnp.float32(1e30)
+# np.float32 on purpose: module-level jnp scalars initialize the device
+# backend at import time (hangs `import capsaicin_tpu` if the TPU is down)
+INF = np.float32(1e30)
+BIG = np.float32(1e30)
 
 
 def _popcount(x):

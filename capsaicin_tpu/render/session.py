@@ -21,20 +21,33 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Persistent XLA compilation cache: frame functions and the Pallas traversal
-# kernels are expensive to compile (minutes at 1080p); cache across processes.
-# TPU only — XLA:CPU AOT cache entries encode host machine features and can
-# SIGILL when loaded on a different host profile.
-try:
-    if jax.default_backend() == "tpu":
-        _cache_dir = os.environ.get(
-            "CAPSAICIN_CACHE_DIR", os.path.expanduser("~/.cache/capsaicin_tpu/xla")
-        )
-        os.makedirs(_cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:  # pragma: no cover - cache is best-effort
-    pass
+_cache_configured = False
+
+
+def _setup_compilation_cache():
+    """Persistent XLA compilation cache: frame functions and the Pallas
+    traversal kernels are expensive to compile (minutes at 1080p); cache
+    across processes. TPU only — XLA:CPU AOT cache entries encode host
+    machine features and can SIGILL when loaded on a different host profile.
+
+    Called lazily from RenderSession.__init__ (NOT at import):
+    jax.default_backend() initializes the device backend, and import-time
+    init hangs the whole package import when the TPU tunnel is down."""
+    global _cache_configured
+    if _cache_configured:
+        return
+    _cache_configured = True
+    try:
+        if jax.default_backend() == "tpu":
+            _cache_dir = os.environ.get(
+                "CAPSAICIN_CACHE_DIR",
+                os.path.expanduser("~/.cache/capsaicin_tpu/xla"),
+            )
+            os.makedirs(_cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 from ..ops.camera import Camera
 from ..scene.scene import Scene
@@ -76,6 +89,7 @@ class RenderSession:
         if mesh is not None and height % mesh.size != 0:
             raise ValueError(
                 f"height {height} must divide by mesh size {mesh.size}")
+        _setup_compilation_cache()
         self.mesh = mesh
         self.width = width
         self.height = height

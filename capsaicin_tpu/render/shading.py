@@ -16,13 +16,16 @@ PrimitiveIndex pair); -1 means miss.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import mathops as m
 from ..ops import sampling
 
 PI = sampling.PI
 
-SKY_COLOR = jnp.array([0.7, 0.7, 0.85], jnp.float32)  # rt_direct_lighting.hlsl:56
+# NumPy on purpose: converts at trace time; a module-level jnp constant
+# would initialize the device backend at import. rt_direct_lighting.hlsl:56
+SKY_COLOR = np.array([0.7, 0.7, 0.85], np.float32)
 
 
 def _tri_attr_table(scene):

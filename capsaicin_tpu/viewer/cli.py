@@ -90,7 +90,20 @@ def main(argv=None):
     ap.add_argument("--precompile", action="store_true",
                     help="compile the option-variant cache before serving "
                          "(hitch-free panel toggles; slower startup)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (renders end-to-end without "
+                         "a TPU; the JAX_PLATFORMS env var alone is not "
+                         "authoritative when an accelerator plugin is "
+                         "preregistered)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     session = build_session(args)
     exposure = args.exposure
