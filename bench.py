@@ -95,14 +95,8 @@ CONFIGS["textured_u32"] = dict(
 # render_loop(16) variants: the product on-device frame loop (fixed-chunk
 # dispatches since round 4) amortizes the ~1-2 ms host/tunnel launch cost;
 # round 3 measured direct512 148.4 -> 181.2 Mrays/s at k=16
-CONFIGS["direct512_loop16"] = dict(
-    **{**CONFIGS["direct512"], "frames_per_dispatch": 16})
-CONFIGS["progressive_loop16"] = dict(
-    **{**CONFIGS["progressive"], "frames_per_dispatch": 16})
-CONFIGS["textured_loop16"] = dict(
-    **{**CONFIGS["textured"], "frames_per_dispatch": 16})
-CONFIGS["gi1080_loop16"] = dict(
-    **{**CONFIGS["gi1080"], "frames_per_dispatch": 16})
+for _base in ("direct512", "progressive", "textured", "gi1080"):
+    CONFIGS[f"{_base}_loop16"] = {**CONFIGS[_base], "frames_per_dispatch": 16}
 _AB_ONLY = ("colonnade_stream", "textured_u32", "direct512_loop16",
             "progressive_loop16", "textured_loop16", "gi1080_loop16")
 ALL_CONFIGS = [n for n in CONFIGS if n not in _AB_ONLY]

@@ -505,9 +505,17 @@ def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options,
         fused = os.environ.get("CAPSAICIN_EAW_FUSED", "0")
     if fused in (False, "0", ""):
         fused = None  # sequential
+    elif fused not in (True, "1", "13"):
+        # strict: a typo ("off", "2", …) must not silently select the
+        # fully-fused chain — that corrupts A/B runs and risks the (5+7)
+        # pair's VMEM cliff
+        raise ValueError(
+            f"CAPSAICIN_EAW_FUSED={fused!r}: expected 0/1/13")
     fuse_57 = fused not in (None, "13")
     if storage is None:
         storage = os.environ.get("CAPSAICIN_EAW_BF16", "0")
+    if storage not in (False, "", "0", True, "1"):
+        raise ValueError(f"CAPSAICIN_EAW_BF16={storage!r}: expected 0/1")
     dtype = jnp.bfloat16 if storage in (True, "1") else jnp.float32
     tile, _ = _layout(dtype)
     height, width = color4.shape[:2]
@@ -554,6 +562,8 @@ def spatial_gather(indirect, nd_normal, nd_depth, settings, storage=None):
     I/O to bf16 (compute stays f32 in VMEM)."""
     if storage is None:
         storage = os.environ.get("CAPSAICIN_EAW_BF16", "0")
+    if storage not in (False, "", "0", True, "1"):
+        raise ValueError(f"CAPSAICIN_EAW_BF16={storage!r}: expected 0/1")
     dtype = jnp.bfloat16 if storage in (True, "1") else jnp.float32
     tile, _ = _layout(dtype)
     height, width = indirect.shape[:2]

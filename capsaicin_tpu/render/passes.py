@@ -436,8 +436,19 @@ def _subsampled_nd(nd, frame_count, width, height, options: RenderOptions):
 # fallback when the Pallas kernels aren't in play (pure-CPU runs without
 # CAPSAICIN_PALLAS_STENCIL=1) or when the array height doesn't divide by
 # the mesh.
-_FORCE_JNP_STENCILS = False
-_SPMD_MESH = None
+# Thread-local, not module-global: session.precompile_background traces
+# frame variants on a daemon thread concurrently with the foreground
+# render loop, and a scope exit on one thread must not yank the mesh out
+# from under a trace in progress on another.
+import threading as _threading
+
+_STENCIL_TLS = _threading.local()
+
+
+def _stencil_state():
+    """(force_jnp, spmd_mesh) for the calling thread's trace scope."""
+    return (getattr(_STENCIL_TLS, "force_jnp", False),
+            getattr(_STENCIL_TLS, "mesh", None))
 
 
 def stencil_jnp_scope():
@@ -457,14 +468,13 @@ def _stencil_scope(force_jnp: bool, mesh):
 
     @contextlib.contextmanager
     def scope():
-        global _FORCE_JNP_STENCILS, _SPMD_MESH
-        prev = (_FORCE_JNP_STENCILS, _SPMD_MESH)
-        _FORCE_JNP_STENCILS = force_jnp
-        _SPMD_MESH = mesh
+        prev = _stencil_state()
+        _STENCIL_TLS.force_jnp = force_jnp
+        _STENCIL_TLS.mesh = mesh
         try:
             yield
         finally:
-            _FORCE_JNP_STENCILS, _SPMD_MESH = prev
+            _STENCIL_TLS.force_jnp, _STENCIL_TLS.mesh = prev
 
     return scope()
 
@@ -482,7 +492,7 @@ def _pallas_stencil_eligible() -> bool:
 
 def _spmd_stencil_mesh(height: int):
     """The mesh to halo_map a stencil over, or None for the local paths."""
-    mesh = _SPMD_MESH
+    mesh = _stencil_state()[1]
     if mesh is None or not _pallas_stencil_eligible():
         return None
     if height % mesh.size != 0:
@@ -495,7 +505,7 @@ def _use_pallas_stencil() -> bool:
     (each jnp tap materializes a full [H,W,C] temporary; the kernels read
     each tile once). CAPSAICIN_PALLAS_STENCIL=1 forces them (interpret mode)
     off-TPU for equivalence tests; =0 forces the jnp path everywhere."""
-    if _FORCE_JNP_STENCILS:
+    if _stencil_state()[0]:
         return False
     return _pallas_stencil_eligible()
 

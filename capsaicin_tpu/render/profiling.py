@@ -64,16 +64,25 @@ PASS_NAMES = (
 def measure_passes_inframe(session, iters: int = 3) -> Dict[str, float]:
     """In-frame per-pass timings by cumulative-prefix dispatches (see module
     docstring): numbers sum to ~the fused frame time. Compiles one program
-    per pass (persistent-cached on TPU)."""
+    per pass (persistent-cached on TPU).
+
+    The profiled stages mirror pipeline.render_frame exactly — the same
+    trace fns the session installs (sorting/balancing wrappers, shard_map
+    on mesh sessions via session._trace_fns), the options.spp accumulation
+    loop, and the options.gather/options.taa gating. Disabled passes are
+    absent from the table (the reference only has timers for passes that
+    ran, render_system.cpp:189-226)."""
     width, height = session.width, session.height
     options = session.options
     mode = session._resolved_mode
     block_order = mode in ("bvh", "cull", "stream")
     state = session.state
+    mesh = session.mesh
 
     def stage_fns(scene, bvh, camera, settings, noise, fc, prev_camera,
                   prev_nd, color_hist, moments_hist, combined_hist):
-        closest, any_hit = make_traversal(scene, mode, bvh)
+        closest, any_hit, bounce, bounce_any = session._trace_fns(
+            scene, bvh, options, mode)
         env = {}
 
         def s_primary():
@@ -86,9 +95,23 @@ def measure_passes_inframe(session, iters: int = 3) -> Dict[str, float]:
                 options, block_order=block_order)
 
         def s_indirect():
-            env["indirect"] = passes.indirect_gi(
-                scene, closest, any_hit, camera, prev_camera, env["gb"],
-                combined_hist, prev_nd, noise, width, height, fc, options)
+            # same options.spp accumulation structure as render_frame
+            def gi_sample(noise_frame):
+                return passes.indirect_gi(
+                    scene, closest, any_hit, camera, prev_camera, env["gb"],
+                    combined_hist, prev_nd, noise, width, height, fc,
+                    options, closest_bounce_fn=bounce,
+                    any_bounce_fn=bounce_any, noise_frame=noise_frame)
+
+            spp = max(int(options.spp), 1)
+            if spp == 1:
+                env["indirect"] = gi_sample(fc)
+            else:
+                def body(s, acc):
+                    return acc + gi_sample(fc * spp + s)
+
+                env["indirect"] = jax.lax.fori_loop(
+                    1, spp, body, gi_sample(fc * spp)) / spp
 
         def s_gather():
             env["gathered"] = passes.spatial_gather(
@@ -101,8 +124,9 @@ def measure_passes_inframe(session, iters: int = 3) -> Dict[str, float]:
                 moments_hist, combined_hist, width, height)
 
         def s_accum():
+            gathered = env["gathered"] if options.gather else env["indirect"]
             env["color_hist"], env["moments_hist"] = passes.svgf_accumulate(
-                env["gathered"], env["nd"], env["rep"], prev_camera, width,
+                gathered, env["nd"], env["rep"], prev_camera, width,
                 height, fc, settings.temporal_upscale_feedback, options)
 
         def s_eaw():
@@ -119,8 +143,22 @@ def measure_passes_inframe(session, iters: int = 3) -> Dict[str, float]:
                 env["combined"], env["rep"], env["nd"], width, height,
                 settings.taa_feedback)
 
-        return env, (s_primary, s_direct, s_indirect, s_gather, s_reproject,
-                     s_accum, s_eaw, s_combine, s_taa)
+        stages = [
+            ("RaytracePrimaryVisibility", s_primary),
+            ("RT Direct lighting", s_direct),
+            ("RT Indirect diffuse", s_indirect),
+        ]
+        if options.gather:
+            stages.append(("Spatial gather", s_gather))
+        stages += [
+            ("Reproject history", s_reproject),
+            ("Temporal upscale", s_accum),
+            ("EAW", s_eaw),
+            ("Combine illumination", s_combine),
+        ]
+        if options.taa:
+            stages.append(("TAA", s_taa))
+        return env, stages
 
     args = (
         session.scene_dev, session.bvh, session.camera, session.settings,
@@ -131,12 +169,20 @@ def measure_passes_inframe(session, iters: int = 3) -> Dict[str, float]:
         state.moments_history.astype(jnp.float32),
         state.combined_history.astype(jnp.float32),
     )
+    stage_names = [n for n, _ in stage_fns(*args)[1]]
 
     def prefix(k):
         def run(*a):
-            env, fns = stage_fns(*a)
-            for f in fns[:k]:
-                f()
+            env, stages = stage_fns(*a)
+            # mesh sessions route stencils through shard_map halo exchange,
+            # exactly as the product frame does
+            from contextlib import nullcontext
+
+            scope = passes.stencil_spmd_scope(mesh) if mesh is not None \
+                else nullcontext()
+            with scope:
+                for _, f in stages[:k]:
+                    f()
             # return EVERY live intermediate: nothing upstream may be DCE'd
             return tuple(env.values())
 
@@ -144,7 +190,7 @@ def measure_passes_inframe(session, iters: int = 3) -> Dict[str, float]:
 
     t_prev = 0.0
     timings: Dict[str, float] = {}
-    for k, name in enumerate(PASS_NAMES, start=1):
+    for k, name in enumerate(stage_names, start=1):
         t_k, _ = _time(prefix(k), *args, iters=iters)
         timings[name] = max(t_k - t_prev, 0.0)
         t_prev = t_k
@@ -173,9 +219,10 @@ def measure_passes(session, iters: int = 3) -> Dict[str, float]:
     timings: Dict[str, float] = {}
 
     closest, any_hit = make_traversal(scene, mode, bvh)
-    # measure the same code path the frame runs: bvh mode traces
-    # primary/shadow rays in 8x128 pixel-block packets
-    block_order = mode == "bvh"
+    # measure the same code path the frame runs: packet-backed modes trace
+    # primary/shadow rays in 8x128 pixel-block packets (session keys
+    # trace_block_order on the same mode set)
+    block_order = mode in ("bvh", "cull", "stream")
 
     def f_primary(camera, fc):
         return passes.trace_primary(

@@ -24,7 +24,7 @@ import numpy as np
 _cache_configured = False
 
 
-def _setup_compilation_cache():
+def setup_compilation_cache():
     """Persistent XLA compilation cache: frame functions and the Pallas
     traversal kernels are expensive to compile (minutes at 1080p); cache
     across processes. TPU only — XLA:CPU AOT cache entries encode host
@@ -32,7 +32,10 @@ def _setup_compilation_cache():
 
     Called lazily from RenderSession.__init__ (NOT at import):
     jax.default_backend() initializes the device backend, and import-time
-    init hangs the whole package import when the TPU tunnel is down."""
+    init hangs the whole package import when the TPU tunnel is down.
+    Ops-level tools that jit kernels WITHOUT a RenderSession (e.g.
+    tools/profile_stream.py) must call this themselves or every run
+    repays the multi-minute Pallas compile bill."""
     global _cache_configured
     if _cache_configured:
         return
@@ -59,9 +62,14 @@ from .traversal import make_traversal, resolve_mode
 
 # (mode, width, height, options) -> jitted frame fn, shared across sessions.
 # LRU-bounded: interactive resizing emits a stream of distinct resolutions
-# and each entry pins a compiled full-pipeline executable.
+# and each entry pins a compiled full-pipeline executable. Guarded by a
+# lock: precompile_background mutates it from a daemon thread while the
+# foreground render loop reads it.
+import threading
+
 _GLOBAL_FN_CACHE: collections.OrderedDict = collections.OrderedDict()
 _GLOBAL_FN_CACHE_CAP = 32
+_GLOBAL_FN_CACHE_LOCK = threading.Lock()
 
 
 class RenderSession:
@@ -89,7 +97,7 @@ class RenderSession:
         if mesh is not None and height % mesh.size != 0:
             raise ValueError(
                 f"height {height} must divide by mesh size {mesh.size}")
-        _setup_compilation_cache()
+        setup_compilation_cache()
         self.mesh = mesh
         self.width = width
         self.height = height
@@ -110,6 +118,10 @@ class RenderSession:
         # eaw5 — the ImGui toggles, gui_system.cpp:69-91) without a
         # recompile hitch (SURVEY.md §7 hard-part 7)
         self._fn_cache: Dict[RenderOptions, object] = {}
+        self._precompile_lock = threading.Lock()
+        self._bg_kick_lock = threading.Lock()
+        self._bg_thread = None
+        self._bg_pending = self._BG_IDLE
         self._timings: Dict[str, float] = {}
 
     # -- scene ------------------------------------------------------------
@@ -220,6 +232,16 @@ class RenderSession:
             raise RuntimeError("set_scene() first")
         if variants is None:
             variants = self.panel_variants()
+        # Serialize concurrent precompiles: the viewer kicks
+        # precompile_background on every option flip, and two threads
+        # racing past the `opt in self._fn_cache` check would each pay the
+        # same multi-minute compile on the single tunnel core. Under the
+        # lock the second thread sees the first's cache inserts and exits
+        # cheaply.
+        with self._precompile_lock:
+            return self._precompile_locked(variants)
+
+    def _precompile_locked(self, variants):
         n = 0
 
         # lower() only needs shapes/dtypes; abstracting the example args
@@ -245,19 +267,41 @@ class RenderSession:
             n += 1
         return n
 
+    _BG_IDLE = object()  # sentinel: no pending background precompile
+
     def precompile_background(self, variants=None):
         """Compile variants on a daemon thread while the session keeps
         rendering the current variant — the reference's async PSO compile
         analog (variant changes there rebuild pipeline state without
         stalling the frame loop). Default set: the current options'
         panel_variants() neighborhood. Returns the thread (join() to wait;
-        tests do, viewers don't)."""
-        import threading
+        tests do, viewers don't).
 
-        t = threading.Thread(
-            target=self.precompile_variants, args=(variants,), daemon=True)
-        t.start()
-        return t
+        Kicks coalesce: the viewer calls this on EVERY panel flip, and on
+        the one-core tunnel box a fresh thread per flip would stack
+        duplicate multi-minute compiles. One worker drains the latest
+        request; re-kicks while it runs just replace the pending set."""
+        with self._bg_kick_lock:
+            self._bg_pending = variants
+            if self._bg_thread is not None:
+                return self._bg_thread
+
+            def worker():
+                while True:
+                    with self._bg_kick_lock:
+                        pending = self._bg_pending
+                        if pending is self._BG_IDLE:
+                            # retire INSIDE the lock: a kick that observed
+                            # a live worker must be guaranteed pickup
+                            self._bg_thread = None
+                            return
+                        self._bg_pending = self._BG_IDLE
+                    self.precompile_variants(pending)
+
+            t = threading.Thread(target=worker, daemon=True)
+            self._bg_thread = t
+            t.start()
+            return t
 
     def resize(self, width: int, height: int):
         """Change the render resolution, refitting the camera sensor to the
@@ -279,21 +323,14 @@ class RenderSession:
 
     # -- frame ------------------------------------------------------------
 
-    def _build_frame_fn(self, options: Optional[RenderOptions] = None,
-                        loop_frames: Optional[int] = None):
-        mode = self._resolved_mode
-        width, height = self.width, self.height
-        options = self.options if options is None else options
-        # process-wide cache: the jitted step closes over ONLY
-        # (mode, resolution, options, mesh, loop) — scene/bvh/state are
-        # traced args — so identical configs across sessions share one
-        # compile (the reference's PSO cache analog)
-        key = (mode, width, height, options, self.mesh, loop_frames)
-        cached = _GLOBAL_FN_CACHE.get(key)
-        if cached is not None:
-            _GLOBAL_FN_CACHE.move_to_end(key)
-            return cached
-
+    def _trace_fns(self, scene, bvh, options, mode):
+        """(closest, any_hit, bounce, bounce_any) trace fns for one frame:
+        the per-mode sorting/balancing wrappers, shard_map-wrapped per-shard
+        on mesh sessions (rays sharded, scene/BVH replicated, sorting local
+        — parallel.sharding.shard_trace). scene/bvh may be traced values
+        (called at trace time inside the jitted step) or concrete arrays.
+        Shared by _build_frame_fn and profiling.measure_passes_inframe so
+        the profiled frame IS the product frame."""
         mesh = self.mesh
 
         def make_fns(scene, bvh):
@@ -318,23 +355,39 @@ class RenderSession:
                 bounce, bounce_any = make_bounce_fns(bvh)
             return closest, any_hit, bounce, bounce_any
 
+        if mesh is None:
+            return make_fns(scene, bvh)
+        from ..parallel import sharding as sh
+
+        def pick(i):
+            if make_fns(scene, bvh)[i] is None:
+                return None
+            return sh.shard_trace(
+                mesh, scene, bvh, lambda s, b: make_fns(s, b)[i])
+
+        return pick(0), pick(1), pick(2), pick(3)
+
+    def _build_frame_fn(self, options: Optional[RenderOptions] = None,
+                        loop_frames: Optional[int] = None):
+        mode = self._resolved_mode
+        width, height = self.width, self.height
+        options = self.options if options is None else options
+        # process-wide cache: the jitted step closes over ONLY
+        # (mode, resolution, options, mesh, loop) — scene/bvh/state are
+        # traced args — so identical configs across sessions share one
+        # compile (the reference's PSO cache analog)
+        key = (mode, width, height, options, self.mesh, loop_frames)
+        with _GLOBAL_FN_CACHE_LOCK:
+            cached = _GLOBAL_FN_CACHE.get(key)
+            if cached is not None:
+                _GLOBAL_FN_CACHE.move_to_end(key)
+                return cached
+
+        mesh = self.mesh
+
         def step(scene, bvh, camera, state, settings, noise):
-            if mesh is None:
-                closest, any_hit, bounce, bounce_any = make_fns(scene, bvh)
-            else:
-                # SPMD: the SAME kernel selection runs per-shard — rays are
-                # sharded, scene/BVH replicated, sorting wrappers sort
-                # locally (parallel.sharding.shard_trace)
-                from ..parallel import sharding as sh
-
-                def pick(i):
-                    if make_fns(scene, bvh)[i] is None:
-                        return None
-                    return sh.shard_trace(
-                        mesh, scene, bvh, lambda s, b: make_fns(s, b)[i])
-
-                closest, any_hit, bounce, bounce_any = (
-                    pick(0), pick(1), pick(2), pick(3))
+            closest, any_hit, bounce, bounce_any = self._trace_fns(
+                scene, bvh, options, mode)
             from contextlib import nullcontext
 
             from . import passes
@@ -380,9 +433,10 @@ class RenderSession:
                 (self.scene_dev, self.bvh, self.camera, self.state,
                  self.settings, self.noise),
             )
-        _GLOBAL_FN_CACHE[key] = fn
-        while len(_GLOBAL_FN_CACHE) > _GLOBAL_FN_CACHE_CAP:
-            _GLOBAL_FN_CACHE.popitem(last=False)
+        with _GLOBAL_FN_CACHE_LOCK:
+            _GLOBAL_FN_CACHE[key] = fn
+            while len(_GLOBAL_FN_CACHE) > _GLOBAL_FN_CACHE_CAP:
+                _GLOBAL_FN_CACHE.popitem(last=False)
         return fn
 
     def render(self, camera: Optional[Camera] = None) -> np.ndarray:

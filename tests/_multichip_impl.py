@@ -73,6 +73,24 @@ def main(n_dev: int) -> None:
     np.testing.assert_allclose(out2, ref2, atol=1e-3)
     assert int(sess.state.frame_count) == 2
 
+    # in-frame per-pass profiling on the mesh session: the prefix programs
+    # must route trace fns through shard_map and stencils through halo_map
+    # exactly like the product frame (a plain single-chip pallas_call would
+    # fail to compile on the sharded inputs). Short option set: the full
+    # default chain is compile-budget, not coverage.
+    import dataclasses
+
+    prof_sess = RenderSession(
+        32, height,
+        options=dataclasses.replace(options, eaw5=False, taa=False),
+        traversal="bvh", camera=make_camera("cornell", 32, height),
+        mesh=mesh)
+    prof_sess.set_scene(scene_host)
+    prof_sess.render()
+    t = prof_sess.measure_pass_timings(iters=1)
+    assert "TAA" not in t and "Spatial gather" in t, sorted(t)
+    assert all(v >= 0.0 for v in t.values())
+
     # Pallas packet kernel x shard_map: identical kernel, identical result
     from capsaicin_tpu.ops import pallas_traverse as pt
 

@@ -30,10 +30,10 @@ def test_sharded_frame_matches_single_device():
     proc = subprocess.run(
         [sys.executable, impl, str(N_DEV)],
         env=_mesh_env(N_DEV), cwd=_REPO,
-        # ~6 min standalone on the one-core box (cold SPMD compiles, no
-        # persistent cache — see _multichip_impl.py); headroom for suite
-        # runs that share the core with anything else
-        capture_output=True, text=True, timeout=1500,
+        # ~8 min standalone on the one-core box (cold SPMD compiles incl.
+        # the mesh-session profiling prefixes, no persistent cache — see
+        # _multichip_impl.py); headroom for suite runs that share the core
+        capture_output=True, text=True, timeout=2100,
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
 

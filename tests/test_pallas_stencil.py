@@ -177,3 +177,26 @@ def test_spatial_gather_bf16_storage_close_to_f32(rng):
     rel = np.abs(b16 - f32r) / np.maximum(np.abs(f32r), 1.0)
     assert rel.max() < 5e-2, rel.max()
     assert np.sqrt((rel ** 2).mean()) < 2e-3
+
+
+def test_env_knobs_reject_typos(rng, monkeypatch):
+    """CAPSAICIN_EAW_FUSED/_BF16 parsing is strict: a typo must raise, not
+    silently select the fully-fused chain or f32 storage (that corrupts
+    hardware A/B runs)."""
+    h, w = 16, 130
+    color4, nd, moments4 = _fake_buffers(rng, h, w)
+    settings = default_settings()
+    options = RenderOptions(eaw5=False)
+    norm = m.oct_decode(nd["oct"])
+
+    monkeypatch.setenv("CAPSAICIN_EAW_FUSED", "off")
+    with pytest.raises(ValueError, match="CAPSAICIN_EAW_FUSED"):
+        ps.denoise_chain(color4, norm, nd["depth"], moments4, settings,
+                         options)
+    monkeypatch.setenv("CAPSAICIN_EAW_FUSED", "0")
+    monkeypatch.setenv("CAPSAICIN_EAW_BF16", "yes")
+    with pytest.raises(ValueError, match="CAPSAICIN_EAW_BF16"):
+        ps.denoise_chain(color4, norm, nd["depth"], moments4, settings,
+                         options)
+    with pytest.raises(ValueError, match="CAPSAICIN_EAW_BF16"):
+        ps.spatial_gather(color4[..., :3], norm, nd["depth"], settings)

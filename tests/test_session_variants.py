@@ -125,6 +125,20 @@ def test_inframe_pass_timings_sum_to_frame():
     assert t["whole frame"] <= pass_sum + 1e-9
 
 
+def test_inframe_pass_timings_mirror_options():
+    """The profiled frame is the PRODUCT frame: passes the options disable
+    (gather, taa) are absent from the table, and the spp accumulation loop
+    is inside the 'RT Indirect diffuse' row rather than ignored."""
+    from capsaicin_tpu.render.profiling import PASS_NAMES
+
+    s = _session(eaw5=False, gather=False, taa=False, spp=2)
+    s.render()
+    t = s.measure_pass_timings(iters=1)
+    assert set(t) == (set(PASS_NAMES) | {"whole frame"}) - {
+        "Spatial gather", "TAA"}
+    assert all(v >= 0.0 for v in t.values())
+
+
 def test_fp16_history_mode():
     """history_dtype='float16' mirrors the reference's RGBA16F history
     textures (raytracing_system.cpp:466-575): it must converge like fp32
@@ -144,3 +158,22 @@ def test_fp16_history_mode():
     hl16 = np.asarray(s16.state.moments_history[..., 3], np.float32)
     hl32 = np.asarray(s32.state.moments_history[..., 3], np.float32)
     np.testing.assert_allclose(hl16, hl32)
+
+
+def test_precompile_background_kicks_coalesce():
+    """Rapid panel flips kick precompile_background repeatedly; kicks must
+    coalesce onto one worker (no duplicate compile threads) and the LAST
+    request must still be honored."""
+    s = _session(eaw5=False, denoise=False, gather=False, taa=False,
+                 num_diffuse_bounces=0)
+    v1 = [dataclasses.replace(s.options, output=OUTPUT_DIRECT)]
+    v2 = [dataclasses.replace(s.options, output=3)]
+    t1 = s.precompile_background(v1)
+    t2 = s.precompile_background(v2)
+    t1.join(timeout=300)
+    if t2 is not t1:  # t1 may already have retired before the second kick
+        t2.join(timeout=300)
+    assert v1[0] in s._fn_cache or v2[0] in s._fn_cache
+    # whichever kick the worker saw last is guaranteed; v1 may have been
+    # replaced before pickup. The final state must include v2.
+    assert v2[0] in s._fn_cache

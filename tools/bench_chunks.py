@@ -67,5 +67,7 @@ def bench(target_tris: int, width=1920, height=1080, iters=10):
 
 
 if __name__ == "__main__":
+    from capsaicin_tpu.render.session import setup_compilation_cache
+    setup_compilation_cache()  # ops-level tool: opt into the persistent compile cache
     for target in (120_000, 250_000, 500_000, 1_000_000):
         print(json.dumps(bench(target)))

@@ -112,4 +112,6 @@ def main(target=250_000, n_packets=40):
 
 
 if __name__ == "__main__":
+    from capsaicin_tpu.render.session import setup_compilation_cache
+    setup_compilation_cache()  # ops-level tool: opt into the persistent compile cache
     main()

@@ -134,4 +134,6 @@ def main():
 
 
 if __name__ == "__main__":
+    from capsaicin_tpu.render.session import setup_compilation_cache
+    setup_compilation_cache()  # ops-level tool: opt into the persistent compile cache
     main()

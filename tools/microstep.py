@@ -139,5 +139,7 @@ def run(variant, n_packets=64):
 
 
 if __name__ == "__main__":
+    from capsaicin_tpu.render.session import setup_compilation_cache
+    setup_compilation_cache()  # ops-level tool: opt into the persistent compile cache
     for v in ("const", "fetch", "onehot", "reduce", "full"):
         run(v)

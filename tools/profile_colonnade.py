@@ -87,4 +87,6 @@ def main(width=1920, height=1080, target=250_000):
 
 
 if __name__ == "__main__":
+    from capsaicin_tpu.render.session import setup_compilation_cache
+    setup_compilation_cache()  # ops-level tool: opt into the persistent compile cache
     main()

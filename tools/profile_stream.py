@@ -167,6 +167,11 @@ if __name__ == "__main__":
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--blocks", type=str, default="32,64")
     args = ap.parse_args()
+    # ops-level tool (no RenderSession): opt into the persistent compile
+    # cache explicitly, or every run repays the multi-minute Pallas compiles
+    from capsaicin_tpu.render.session import setup_compilation_cache
+
+    setup_compilation_cache()
     smoke()
     if not args.smoke_only:
         colonnade_profile(

@@ -312,6 +312,118 @@ def _sim_band(lo, hi, valid, v0, e1, e2, tid, o, d, tmin, tmax,
     return steps, popped, t_best, decided, prim_found
 
 
+def pack_balanced(o, d, tmn, tmx, lo, hi, valid):
+    """Count-balanced gang packing: consecutive 128-ray sub-packets are
+    ordered by candidate count so similar loads share a gang (steps/gang =
+    max over sub-packets). Pads to a whole gang with dead rays."""
+    n = len(o)
+    pad = (-n) % GANG
+    if pad:
+        o = np.concatenate([o, np.zeros((pad, 3), np.float32)])
+        d = np.concatenate(
+            [d, np.tile(np.array([[0, 0, 1]], np.float32), (pad, 1))])
+        tmn = np.concatenate([tmn, np.full(pad, 1e-3, np.float32)])
+        tmx = np.concatenate([tmx, np.full(pad, -1.0, np.float32)])
+    o2 = o.reshape(-1, LANE, 3)
+    d2 = d.reshape(-1, LANE, 3)
+    tm2 = tmn.reshape(-1, LANE)
+    tM2 = tmx.reshape(-1, LANE)
+    counts = np.empty(len(o2), np.int64)
+    for i in range(0, len(o2), 1024):
+        h, _ = cull(lo, hi, valid, o2[i : i + 1024], d2[i : i + 1024],
+                    tm2[i : i + 1024], tM2[i : i + 1024])
+        counts[i : i + h.shape[0]] = h.sum(1)
+    perm = np.argsort(-counts, kind="stable")
+    ng = len(o2) // SUB
+    return (o2[perm].reshape(ng, SUB, LANE, 3),
+            d2[perm].reshape(ng, SUB, LANE, 3),
+            tm2[perm].reshape(ng, SUB, LANE),
+            tM2[perm].reshape(ng, SUB, LANE))
+
+
+def ladder_bounce(lo, hi, valid, v0, e1, e2, tid, p, db, dead, args, tris):
+    """Multi-round tmax-laddered bounce tracing with inter-round repacking.
+
+    Round k traces only still-undecided rays with tmax capped at the k-th
+    ladder rung — SHORT segments keep sub-packet candidate unions tight —
+    then survivors are re-sorted (96-bin), re-balanced, and re-packed into
+    fresh gangs with tmin advanced to the proven-empty cap. Exact: a
+    closest hit found under cap c is the global closest, and [tmin, c) was
+    searched exhaustively. Unlike distance BANDING (per-gang band walk, no
+    repacking — PERF.md negative results), the repack concentrates far/miss
+    rays into few dedicated gangs instead of poisoning every gang's tail.
+    Reported steps are normalized per ROUND-1 source gang so the total is
+    directly comparable to the single-round 809 steps/gang number."""
+    diag = float(np.linalg.norm(
+        tris.reshape(-1, 3).max(0) - tris.reshape(-1, 3).min(0)))
+    rungs = [float(x) * diag for x in args.rounds.split(",") if x.strip()]
+    rungs.append(np.inf)
+    grid = args.dirbins or 4
+    n_rays = len(p)
+
+    order = sort_dirbins(p, db, dead, grid)
+    cur_o, cur_d = p[order], db[order]
+    cur_tmn = np.full(n_rays, 1e-3, np.float32)
+    cur_tmx = np.where(dead[order], -1.0, 1e6).astype(np.float32)
+
+    n_source = None
+    total_steps = 0.0
+    total_pops = 0.0
+    for ri, rung in enumerate(rungs):
+        if len(cur_o) == 0:
+            break
+        t0 = time.time()
+        cap = np.where(cur_tmx < 0, -1.0,
+                       np.minimum(cur_tmx, rung)).astype(np.float32)
+        OG, DG, TM, TX = pack_balanced(cur_o, cur_d, cur_tmn, cap, lo, hi,
+                                       valid)
+        ng = len(OG)
+        if ri == 0:
+            sample = list(range(0, ng, args.stride))
+            n_source = len(sample)
+        else:
+            sample = list(range(ng))  # survivors of the SAMPLED gangs only
+        steps, pops = [], []
+        und_o, und_d, und_tmn, und_tmx = [], [], [], []
+        for g in sample:
+            s_, p_, tb, _ = sim_gang(lo, hi, valid, v0, e1, e2, tid,
+                                     OG[g], DG[g], TM[g], TX[g],
+                                     True, False)
+            steps.append(s_)
+            pops.append(p_)
+            live = TX[g] >= TM[g]
+            found = tb < TX[g]  # hit strictly inside the capped range
+            und = live & ~found
+            if und.any() and np.isfinite(rung):
+                und_o.append(OG[g][und])
+                und_d.append(DG[g][und])
+                # [tmin, cap) proven empty: resume just below the cap
+                und_tmn.append(TX[g][und] * (1.0 - 1e-6))
+                und_tmx.append(np.full(int(und.sum()), 1e6, np.float32))
+        r_steps = (np.mean(steps) if ri == 0
+                   else np.sum(steps) / max(n_source, 1))
+        r_pops = (np.mean(pops) if ri == 0
+                  else np.sum(pops) / max(n_source, 1))
+        total_steps += r_steps
+        total_pops += r_pops
+        n_und = sum(len(x) for x in und_o)
+        print(f"  rung {ri} cap={rung:.1f} gangs={len(sample)} "
+              f"steps/source-gang={r_steps:.1f} pops={r_pops:.0f} "
+              f"undecided={n_und} ({time.time()-t0:.1f}s)", flush=True)
+        if not und_o:
+            break
+        cur_o = np.concatenate(und_o)
+        cur_d = np.concatenate(und_d)
+        cur_tmn = np.concatenate(und_tmn)
+        cur_tmx = np.concatenate(und_tmx)
+        ro = sort_dirbins(cur_o, cur_d, np.zeros(len(cur_o), bool), grid)
+        cur_o, cur_d = cur_o[ro], cur_d[ro]
+        cur_tmn, cur_tmx = cur_tmn[ro], cur_tmx[ro]
+    print(f"[ladder {args.rounds}] TOTAL steps/source-gang = "
+          f"{total_steps:.1f} pops={total_pops:.0f} "
+          f"(single-round balanced baseline: 809)")
+
+
 def gangs_of(o, d, width, height):
     """8x128-pixel-block gang order (passes._to_blocks)."""
     o = o.reshape(height // 8, 8, width // 128, 128, 3).swapaxes(1, 2)
@@ -467,6 +579,17 @@ def main():
                          "balance converts wasted sublane idle into speed)")
     ap.add_argument("--hits-cache", default="/tmp/sim_stream_hits.npz")
     ap.add_argument("--builder", default="median", choices=("median", "sah"))
+    ap.add_argument("--rounds", default="",
+                    help="real-bounce tmax ladder: comma-separated rung caps "
+                         "as fractions of the scene diag (e.g. '0.1' or "
+                         "'0.05,0.2'); a final unbounded round is implicit. "
+                         "Rays are re-sorted, re-balanced and re-packed "
+                         "between rounds (see ladder_bounce)")
+    ap.add_argument("--shadow-sort", default="pixel",
+                    choices=("pixel", "morton"),
+                    help="real-shadow ray order: image pixel blocks (the "
+                         "current production order) or origin-morton (the "
+                         "NEE wrapper's sort)")
     ap.add_argument("--exit-tmax", action="store_true",
                     help="cap bounce tmax at the scene-bbox exit distance")
     args = ap.parse_args()
@@ -581,6 +704,10 @@ def main():
             s2 = rng.uniform(0, 1, (n_rays, 2)).astype(np.float32)
             db = np.asarray(sampling.map_to_hemisphere(
                 jnp.asarray(s2), jnp.asarray(gn), 1.0), np.float32)
+            if args.rounds:
+                ladder_bounce(lo, hi, valid, v0, e1, e2, tid, p, db, dead,
+                              args, tris)
+                return
             if args.sort6d:
                 pb, dbit = (int(x) for x in args.sort6d.split(","))
                 order = sort_6d(p, db, dead, pb, dbit)
@@ -657,12 +784,35 @@ def main():
             ld /= np.linalg.norm(ld)
             dsh = np.broadcast_to(ld, (n_rays, 3)).astype(np.float32)
             tmx = np.where(dead, -1.0, 1e6).astype(np.float32)
-            og2, dg2 = gangs_of(p, dsh, args.width, args.height)
-            workloads.append(("real-shadow", og2, dg2,
-                              gangs_of_scalar(np.full_like(tmx, 1e-4),
-                                              args.width, args.height),
-                              gangs_of_scalar(tmx, args.width, args.height),
-                              True))
+            if args.shadow_sort == "morton":
+                # NEE's origin-morton sort gets 47 steps/gang where the
+                # pixel-block direct shadow sits at 189: the image-space
+                # blocks scatter in DEPTH down the hall, while 3D-morton
+                # clusters hit points so sub-packet unions stay tight
+                import jax.numpy as jnp
+
+                from capsaicin_tpu.ops.pallas_traverse import (
+                    sort_rays_for_traversal,
+                )
+
+                order = np.asarray(sort_rays_for_traversal(
+                    jnp.asarray(p), jnp.asarray(dsh.copy()),
+                    dead=jnp.asarray(dead))[0])
+                o3, d3, tmx3 = p[order], dsh[order], tmx[order]
+                workloads.append(
+                    ("real-shadow/morton",
+                     o3.reshape(-1, SUB, LANE, 3),
+                     d3.reshape(-1, SUB, LANE, 3),
+                     np.full_like(tmx3, 1e-4).reshape(-1, SUB, LANE),
+                     tmx3.reshape(-1, SUB, LANE), True))
+            else:
+                og2, dg2 = gangs_of(p, dsh, args.width, args.height)
+                workloads.append(("real-shadow", og2, dg2,
+                                  gangs_of_scalar(np.full_like(tmx, 1e-4),
+                                                  args.width, args.height),
+                                  gangs_of_scalar(tmx, args.width,
+                                                  args.height),
+                                  True))
 
     def rebalance(OG, DG, tmn, tmx, kk):
         """Round-robin deal of sub-packets into gangs by candidate count."""
