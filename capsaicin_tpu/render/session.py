@@ -341,9 +341,19 @@ class RenderSession:
                 # incoherent bounce rays get finer direction binning and
                 # the candidate-count load-balance pre-pass (each is ~2x on
                 # dense scenes; see ops/stream._balance and PERF.md)
-                from .traversal import make_stream_bounce_fns
+                from .traversal import (
+                    make_stream_bounce_fns,
+                    with_ray_sorting_any,
+                )
 
                 bounce, bounce_any = make_stream_bounce_fns(bvh)
+                # direct-shadow rays too: pixel blocks are coherent in
+                # IMAGE space but scatter in scene depth on dense scenes,
+                # so sub-packet unions stay wide; origin-morton sorting is
+                # 189 -> 25.7 steps/gang on real colonnade shadows
+                # (tools/sim_stream.py --workload real-shadow
+                # --shadow-sort morton). Exact: sorting is a permutation.
+                any_hit = with_ray_sorting_any(any_hit)
             elif mode in ("bvh", "wavefront") and options.sort_bounce_rays:
                 from .traversal import with_ray_sorting, with_ray_sorting_any
 
