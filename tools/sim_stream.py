@@ -592,6 +592,13 @@ def main():
                          "NEE wrapper's sort)")
     ap.add_argument("--exit-tmax", action="store_true",
                     help="cap bounce tmax at the scene-bbox exit distance")
+    ap.add_argument("--oracle-tmax", action="store_true",
+                    help="cap bounce tmax at the EXACT hit distance (misses "
+                         "keep 1e6): the upper bound on every tmax-capping "
+                         "scheme (DDA grids, ladders, proxy prepasses)")
+    ap.add_argument("--oracle-tmax-miss", action="store_true",
+                    help="with --oracle-tmax, also cap MISS rays at their "
+                         "scene-bbox exit (models perfect per-ray info)")
     args = ap.parse_args()
 
     from capsaicin_tpu.ops.camera import create_primary_rays, pixel_grid
@@ -723,7 +730,26 @@ def main():
                         jnp.asarray(p), jnp.asarray(db),
                         dead=jnp.asarray(dead))[0])
             ob2, db2, dd2 = p[order], db[order], dead[order]
-            if args.exit_tmax:
+            if args.oracle_tmax:
+                # EXACT hit distances (the cached real-nee bounce trace):
+                # the ceiling for every tmax-capping scheme. Cap at
+                # t*(1+1e-3)+1e-4 so the found hit itself stays in range.
+                h2 = trace_primary_hits(
+                    tris, p, db, "/tmp/sim_stream_hits2.npz", tmin=1e-3)
+                t2 = h2["t"].astype(np.float32)
+                hit2 = h2["prim"] >= 0
+                cap = np.where(hit2, t2 * 1.001 + 1e-4, 1e6)
+                if args.oracle_tmax_miss:
+                    blo = np.asarray(tris.reshape(-1, 3).min(0))
+                    bhi = np.asarray(tris.reshape(-1, 3).max(0))
+                    inv2 = safe_inv(db)
+                    t0s = (blo[None] - p) * inv2
+                    t1s = (bhi[None] - p) * inv2
+                    texit = np.maximum(t0s, t1s).min(-1) + 1e-3
+                    cap = np.where(hit2, cap, texit)
+                cap = cap[order]
+                tmx = np.where(dd2, -1.0, cap).astype(np.float32)
+            elif args.exit_tmax:
                 # rays cannot hit beyond the scene bbox: capping tmax at
                 # the bbox exit distance is exact and lets miss rays
                 # contribute a short pruning cap instead of 1e6
@@ -742,7 +768,9 @@ def main():
                 tag = f"real-bounce/dirbins{args.dirbins}"
             else:
                 tag = "real-bounce"
-            if args.exit_tmax:
+            if args.oracle_tmax:
+                tag += "/oracle" + ("+miss" if args.oracle_tmax_miss else "")
+            elif args.exit_tmax:
                 tag += "/exit"
             workloads.append((tag,
                               ob2.reshape(-1, SUB, LANE, 3),
