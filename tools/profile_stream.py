@@ -120,10 +120,24 @@ def colonnade_profile(width, height, target, block_tris_list=(32, 64)):
         sort_c = jax.jit(with_ray_sorting(
             lambda oo, dd, a, b, sb=sb: stream.stream_closest(sb, oo, dd, a, b)))
 
+        # exact step counts from tools/sim_stream.py for THIS workload at
+        # the default 250k-tri/1080p/block-32 config — lets the log answer
+        # the us/step question (PERF.md bounds 0.3-1.2) on first HW contact
+        # (primary only: the profiler's any-hit row uses CAMERA rays, which
+        # have no sim counterpart — the sim's 189/25.7 are real shadow rays)
+        sim_steps = {"stream32_primary": 40.3 * 2025}
+
+        def us_step(rkey, dt):
+            s = sim_steps.get(rkey)
+            if s and target == 250_000 and (width, height) == (1920, 1080):
+                return f"  [{dt / s * 1e6:.2f} us/step @ sim {s:.0f} steps]"
+            return ""
+
         dt = t_cycle(closest, ray_sets(o, d))
         results[f"{key}_primary"] = dt
         print(f"[{key}] primary closest {dt*1e3:.1f} ms "
-              f"({n/dt/1e6:.1f} Mrays/s)")
+              f"({n/dt/1e6:.1f} Mrays/s)"
+              + us_step(f"{key}_primary", dt))
         closest_flat = jax.jit(lambda o, d, sb=sb: stream.stream_closest(
             sb, o, d, 0.0, 1e6, hier=False))
         dt = t_cycle(closest_flat, ray_sets(o, d))
