@@ -46,17 +46,26 @@ def check_stream():
     stream._use_interpret = lambda: False  # force the Mosaic path
     tris = np.random.RandomState(0).rand(900, 3, 3).astype(np.float32)
     sbvh = stream.build_stream_bvh(tris)
+    sbvh64 = stream.build_stream_bvh(tris, block_tris=64)
     o = jnp.zeros((2048, 3), jnp.float32)
     d = jnp.ones((2048, 3), jnp.float32)
-    for name, fn in [
-        ("closest/hier", lambda s, o, d: stream.stream_closest(s, o, d)),
-        ("closest/flat",
+    for name, sb, fn in [
+        ("closest/hier", sbvh,
+         lambda s, o, d: stream.stream_closest(s, o, d)),
+        ("closest/flat", sbvh,
          lambda s, o, d: stream.stream_closest(s, o, d, hier=False)),
-        ("closest/balanced",
+        ("closest/balanced", sbvh,
          lambda s, o, d: stream.stream_closest(s, o, d, balance=True)),
-        ("any/hier", lambda s, o, d: stream.stream_any(s, o, d)),
+        ("any/hier", sbvh, lambda s, o, d: stream.stream_any(s, o, d)),
+        # block-64 leaves: 2.2x fewer bounce steps at 2x per-step MT cost
+        # in sim (PERF.md); 8-row MT unroll + doubled DMA/scratch shapes
+        # get their own lowering check before the HW 32-vs-64 A/B
+        ("closest/hier/b64", sbvh64,
+         lambda s, o, d: stream.stream_closest(s, o, d)),
+        ("any/hier/b64", sbvh64,
+         lambda s, o, d: stream.stream_any(s, o, d)),
     ]:
-        n = _lower_tpu(fn, sbvh, o, d)
+        n = _lower_tpu(fn, sb, o, d)
         print(f"  stream {name}: OK ({n} chars)")
 
 
