@@ -90,6 +90,14 @@ CONFIGS = {
 CONFIGS["colonnade_stream"] = dict(
     width=1920, height=1080, bounces=1, scene="colonnade",
     traversal="stream")
+# 64-tri leaf blocks: sim says 2.2x fewer bounce steps at 2x per-step
+# cost + half the cull/extract/DMA overheads (PERF.md) — HW decides
+CONFIGS["colonnade_stream64"] = dict(
+    width=1920, height=1080, bounces=1, scene="colonnade",
+    traversal="stream", stream_block=64)
+CONFIGS["colonnade_stream128"] = dict(
+    width=1920, height=1080, bounces=1, scene="colonnade",
+    traversal="stream", stream_block=128)
 CONFIGS["textured_u32"] = dict(
     width=1024, height=1024, bounces=1, scene="textured", atlas_u32=True)
 # render_loop(16) variants: the product on-device frame loop (fixed-chunk
@@ -97,8 +105,9 @@ CONFIGS["textured_u32"] = dict(
 # round 3 measured direct512 148.4 -> 181.2 Mrays/s at k=16
 for _base in ("direct512", "progressive", "textured", "gi1080"):
     CONFIGS[f"{_base}_loop16"] = {**CONFIGS[_base], "frames_per_dispatch": 16}
-_AB_ONLY = ("colonnade_stream", "textured_u32", "direct512_loop16",
-            "progressive_loop16", "textured_loop16", "gi1080_loop16")
+_AB_ONLY = ("colonnade_stream", "colonnade_stream64", "colonnade_stream128",
+            "textured_u32", "direct512_loop16", "progressive_loop16",
+            "textured_loop16", "gi1080_loop16")
 ALL_CONFIGS = [n for n in CONFIGS if n not in _AB_ONLY]
 
 # the driver's required single-line metric comes from this config
@@ -107,7 +116,8 @@ assert FLAGSHIP in CONFIGS
 
 
 def run_config(width, height, bounces, scene_name, traversal, frames, lowres=False,
-               extra_options=None, spp=1, frames_per_dispatch=1, atlas_u32=False):
+               extra_options=None, spp=1, frames_per_dispatch=1, atlas_u32=False,
+               stream_block=None):
     import numpy as np
 
     from capsaicin_tpu.render import RenderOptions, RenderSession
@@ -120,7 +130,8 @@ def run_config(width, height, bounces, scene_name, traversal, frames, lowres=Fal
     opt_kw = dict(num_diffuse_bounces=bounces, lowres_indirect=lowres, spp=spp)
     opt_kw.update(extra_options or {})
     options = RenderOptions(**opt_kw)
-    session = RenderSession(width=width, height=height, options=options, traversal=traversal)
+    session = RenderSession(width=width, height=height, options=options,
+                            traversal=traversal, stream_block_tris=stream_block)
     session.set_camera(make_camera(
         "colonnade" if scene_name == "colonnade" else "cornell", width, height))
     if scene_name == "colonnade":
@@ -208,6 +219,7 @@ def main():
             frames_per_dispatch=cfg.get("frames_per_dispatch",
                                         args.frames_per_dispatch),
             atlas_u32=cfg.get("atlas_u32", False),
+            stream_block=cfg.get("stream_block"),
         )
 
     if args.all:

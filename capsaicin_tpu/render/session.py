@@ -82,6 +82,7 @@ class RenderSession:
         traversal: str = "auto",
         camera: Optional[Camera] = None,
         mesh=None,
+        stream_block_tris: Optional[int] = None,
     ):
         """mesh: an optional `jax.sharding.Mesh` (see parallel.sharding).
         When set, frames render SPMD over the mesh: per-pixel state and the
@@ -104,6 +105,10 @@ class RenderSession:
         self.options = options or RenderOptions()
         self.settings = settings or default_settings()
         self.traversal_mode = traversal
+        # stream-backend leaf-block size (None = ops.stream.BLOCK_TRIS);
+        # 64 halves steps on union-wide dense-scene passes at 2x per-step
+        # cost (PERF.md sim table) — pick per scene via the HW A/B
+        self.stream_block_tris = stream_block_tris
         from ..ops.camera import default_camera
 
         self.camera = camera or default_camera(aspect=height / width)
@@ -141,7 +146,8 @@ class RenderSession:
 
         # build from the HOST scene: the builders np.asarray the geometry,
         # and device->host pulls are pathologically slow on tunneled TPUs
-        self.bvh = build_accel(scene, mode)
+        self.bvh = build_accel(
+            scene, mode, stream_block_tris=self.stream_block_tris)
         if self.mesh is not None and self.bvh is not None:
             from ..parallel import sharding as sh
 

@@ -108,13 +108,18 @@ def make_bvh(scene, bvh):
 
 
 
-def build_accel(scene, mode: str):
+def build_accel(scene, mode: str, stream_block_tris: int = None):
     """Build the acceleration structure for the resolved traversal mode:
     the BLAS/TLAS-build analog (blas_system.cpp / tlas_system.cpp).
 
     `scene` should be the HOST-side Scene (numpy arrays): builders do their
     heavy lifting on the host, and pulling geometry device->host first is
-    pathologically slow on tunneled TPUs (~minutes for MBs)."""
+    pathologically slow on tunneled TPUs (~minutes for MBs).
+
+    `stream_block_tris` sets the stream backend's leaf-block size (default
+    ops.stream.BLOCK_TRIS=32). Sim (PERF.md): 64 cuts colonnade steps/gang
+    809->364 (bounce) / 47->17 (NEE) at ~2x per-step MT cost — the 32-vs-64
+    call is a hardware A/B (tools/profile_stream.py)."""
     import jax
     import numpy as np
 
@@ -131,7 +136,8 @@ def build_accel(scene, mode: str):
     if mode == "stream":
         from ..ops import stream
 
-        return stream.build_stream_bvh(tris_np)
+        return stream.build_stream_bvh(
+            tris_np, block_tris=stream_block_tris or stream.BLOCK_TRIS)
     if mode == "wavefront":
         from ..ops import wavefront
 

@@ -41,10 +41,11 @@ def test_run_named_passes_config_dispatch(monkeypatch):
 
     def fake_run_config(width, height, bounces, scene, traversal, frames,
                         lowres=False, extra_options=None, spp=1,
-                        frames_per_dispatch=1, atlas_u32=False):
+                        frames_per_dispatch=1, atlas_u32=False,
+                        stream_block=None):
         calls[scene, width, frames_per_dispatch] = dict(
             bounces=bounces, traversal=traversal, lowres=lowres,
-            extra=extra_options, u32=atlas_u32)
+            extra=extra_options, u32=atlas_u32, stream_block=stream_block)
         return {"mrays_per_s": 1.0, "ms_per_frame": 1.0, "fps": 1.0,
                 "spp_per_s": 1.0}
 
@@ -57,3 +58,13 @@ def test_run_named_passes_config_dispatch(monkeypatch):
     assert (scene, width, fpd) == ("cornell", 1024, 16)
     assert calls[scene, width, fpd]["lowres"] is True
     assert calls[scene, width, fpd]["extra"] == {}
+    assert calls[scene, width, fpd]["stream_block"] is None
+
+    calls.clear()
+    with mock.patch.object(
+            sys, "argv", ["bench.py", "--config", "colonnade_stream64"]):
+        bench.main()
+    ((scene, width, fpd),) = calls
+    assert (scene, width, fpd) == ("colonnade", 1920, 1)
+    assert calls[scene, width, fpd]["traversal"] == "stream"
+    assert calls[scene, width, fpd]["stream_block"] == 64

@@ -241,13 +241,17 @@ def test_stream_session_frame_matches_bvh():
     scene = build_scene(colonnade(target_tris=3000))
     opts = RenderOptions(taa=False, eaw5=False)
     imgs = {}
-    for mode in ("stream", "bvh"):
-        s = RenderSession(width=32, height=32, options=opts, traversal=mode)
+    for mode, kw in (("stream", {}), ("bvh", {}),
+                     ("stream64", dict(stream_block_tris=64))):
+        s = RenderSession(width=32, height=32, options=opts,
+                          traversal=mode.rstrip("46"), **kw)
         s.set_camera(make_camera("colonnade", 32, 32))
         s.set_scene(scene)
         imgs[mode] = s.render()
     assert np.all(np.isfinite(imgs["stream"]))
     np.testing.assert_allclose(imgs["stream"], imgs["bvh"], atol=2e-5)
+    # leaf-block size is a pure performance knob: same hits, same frame
+    np.testing.assert_allclose(imgs["stream64"], imgs["bvh"], atol=2e-5)
 
 
 def test_stream_matches_bvh_backend(rng):

@@ -64,6 +64,9 @@ def check_stream():
          lambda s, o, d: stream.stream_closest(s, o, d)),
         ("any/hier/b64", sbvh64,
          lambda s, o, d: stream.stream_any(s, o, d)),
+        ("closest/hier/b128",
+         stream.build_stream_bvh(tris, block_tris=128),
+         lambda s, o, d: stream.stream_closest(s, o, d)),
     ]:
         n = _lower_tpu(fn, sb, o, d)
         print(f"  stream {name}: OK ({n} chars)")

@@ -55,6 +55,10 @@ run 2400 bench-flagship python bench.py
 run 1800 tpu-smoke python tools/tpu_smoke.py
 run 3000 profile-stream python tools/profile_stream.py
 run 4800 bench-all python bench.py --all
+# product-level colonnade stream A/B (ops-level decision: profile-stream);
+# block 32 vs 64: sim says 64 halves steps at 2x per-step cost (PERF.md)
+run 3600 bench-colonnade-stream python bench.py --config colonnade_stream
+run 3600 bench-colonnade-stream64 python bench.py --config colonnade_stream64
 run 1800 profile-textured python tools/profile_textured.py
 run 1800 profile-progressive python tools/profile_1080p.py \
   --width 1024 --height 1024 --lowres-indirect
@@ -81,5 +85,10 @@ run 1200 bench-progressive-bf16 \
 run 1200 bench-progressive-bf16-fused \
   env CAPSAICIN_EAW_BF16=1 CAPSAICIN_EAW_FUSED=1 \
   python bench.py --config progressive
+# block-128 stream leaves (sim: bounce 194.6 steps/gang vs 364 at b64 /
+# 809 at b32, at 4x/2x/1x per-step MT cost — bigger blocks win if fixed
+# per-step overhead dominates); lower priority than the 32/64 ladder
+run 2400 profile-stream-b128 python tools/profile_stream.py --blocks 128
+run 3600 bench-colonnade-stream128 python bench.py --config colonnade_stream128
 
 say "hw_session complete — read $LOG, decide colonnade/textured config flips"
