@@ -61,7 +61,41 @@ def wait_for_backend(attempts: int = 3, probe_timeout: float = 150.0,
         except subprocess.TimeoutExpired:
             print(f"bench: probe timed out after {probe_timeout:.0f}s "
                   "(device init hang — relay likely down)", file=sys.stderr)
+    diagnose_backend()
     return False
+
+
+def diagnose_backend(timeout: float = 90.0) -> str:
+    """Best-effort root-cause probe after the retries are exhausted.
+
+    The default remote-compile path HANGS on some infra faults where a
+    client-side (AOT) compile fails FAST with the actual error — e.g. a
+    client/terminal libtpu version skew during a rolling upgrade
+    (round 4: devices() answered in ~10 s while any compute wedged
+    forever; PALLAS_AXON_REMOTE_COMPILE=0 surfaced 'FAILED_PRECONDITION:
+    libtpu version mismatch' in seconds). Run one bounded local-compile
+    probe and put its tail on stderr so a failed capture records WHY."""
+    import os
+
+    env = dict(os.environ)
+    env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=timeout, capture_output=True, text=True, env=env,
+        )
+        if r.returncode == 0:
+            msg = ("local-compile probe OK — fault is in the remote "
+                   "compile/execute path only")
+        else:
+            tail = (r.stderr or r.stdout).strip().splitlines()
+            keep = [ln for ln in tail if "Error" in ln or "error" in ln
+                    or "FAILED" in ln or "mismatch" in ln] or tail[-3:]
+            msg = " | ".join(keep[-4:])[-600:]
+    except subprocess.TimeoutExpired:
+        msg = f"local-compile probe also hung ({timeout:.0f}s)"
+    print(f"bench: backend diagnosis: {msg}", file=sys.stderr)
+    return msg
 
 
 def rays_per_frame(width, height, bounces, lowres, spp=1):
