@@ -139,9 +139,15 @@ CONFIGS["textured_u32"] = dict(
 # round 3 measured direct512 148.4 -> 181.2 Mrays/s at k=16
 for _base in ("direct512", "progressive", "textured", "gi1080"):
     CONFIGS[f"{_base}_loop16"] = {**CONFIGS[_base], "frames_per_dispatch": 16}
+# fp16 temporal history (the reference's literal RGBA16F storage,
+# render_system.cpp:53-84): halves the SVGF/TAA history HBM traffic;
+# equality-tolerance-tested vs f32 in test_session_variants
+CONFIGS["gi1080_fp16hist"] = dict(
+    width=1920, height=1080, bounces=1, scene="cornell",
+    options=dict(history_dtype="float16"))
 _AB_ONLY = ("colonnade_stream", "colonnade_stream64", "colonnade_stream128",
             "textured_u32", "direct512_loop16", "progressive_loop16",
-            "textured_loop16", "gi1080_loop16")
+            "textured_loop16", "gi1080_loop16", "gi1080_fp16hist")
 ALL_CONFIGS = [n for n in CONFIGS if n not in _AB_ONLY]
 
 # the driver's required single-line metric comes from this config

@@ -77,6 +77,9 @@ run 1200 bench-direct512-loop16 python bench.py --config direct512_loop16
 run 2400 bench-flagship-loop16 python bench.py --frames-per-dispatch 16
 run 1200 bench-progressive-loop16 python bench.py --config progressive_loop16
 run 1200 bench-textured-loop16 python bench.py --config textured_loop16
+# fp16 temporal history (the reference's literal RGBA16F storage):
+# halves SVGF/TAA history HBM traffic on the flagship
+run 1200 bench-flagship-fp16hist python bench.py --config gi1080_fp16hist
 # bf16 planar storage for the EAW chain (compute stays f32): halves the
 # chain's HBM traffic; composable with FUSED (independent A/B first)
 run 1200 bench-flagship-bf16 env CAPSAICIN_EAW_BF16=1 python bench.py
