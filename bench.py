@@ -91,7 +91,8 @@ def diagnose_backend(timeout: float = 90.0) -> str:
             tail = (r.stderr or r.stdout).strip().splitlines()
             keep = [ln for ln in tail if "Error" in ln or "error" in ln
                     or "FAILED" in ln or "mismatch" in ln] or tail[-3:]
-            msg = " | ".join(keep[-4:])[-600:]
+            msg = (" | ".join(keep[-4:])[-600:]
+                   or f"probe rc={r.returncode}, no output (killed?)")
     except subprocess.TimeoutExpired:
         msg = f"local-compile probe also hung ({timeout:.0f}s)"
     print(f"bench: backend diagnosis: {msg}", file=sys.stderr)
@@ -114,6 +115,10 @@ CONFIGS = {
                       options=dict(output=1, taa=False, denoise=False, gather=False)),
     "gi1080": dict(width=1920, height=1080, bounces=1, scene="cornell"),
     "gi1080x4": dict(width=1920, height=1080, bounces=4, scene="cornell"),
+    # the LITERAL BASELINE.json config 2: 1080p, 4-bounce GI + NEE, 64 spp
+    # traced in one dispatch (fori_loop over disjoint blue-noise seeds)
+    "gi1080x4_spp64": dict(width=1920, height=1080, bounces=4,
+                           scene="cornell", spp=64, frames=4),
     "textured": dict(width=1024, height=1024, bounces=1, scene="textured"),
     "colonnade": dict(width=1920, height=1080, bounces=1, scene="colonnade",
                       traversal="bvh"),
@@ -140,7 +145,7 @@ CONFIGS["textured_u32"] = dict(
 for _base in ("direct512", "progressive", "textured", "gi1080"):
     CONFIGS[f"{_base}_loop16"] = {**CONFIGS[_base], "frames_per_dispatch": 16}
 # fp16 temporal history (the reference's literal RGBA16F storage,
-# render_system.cpp:53-84): halves the SVGF/TAA history HBM traffic;
+# raytracing_system.cpp:466-575): halves the SVGF/TAA history HBM traffic;
 # equality-tolerance-tested vs f32 in test_session_variants
 CONFIGS["gi1080_fp16hist"] = dict(
     width=1920, height=1080, bounces=1, scene="cornell",
@@ -251,11 +256,11 @@ def main():
         cfg = CONFIGS[name]
         return run_config(
             cfg["width"], cfg["height"], cfg["bounces"], cfg["scene"],
-            cfg.get("traversal", "auto"), args.frames,
+            cfg.get("traversal", "auto"), cfg.get("frames", args.frames),
             lowres=cfg.get("options", {}).get("lowres_indirect", False),
             extra_options={k: v for k, v in cfg.get("options", {}).items()
                            if k != "lowres_indirect"},
-            spp=args.spp,
+            spp=cfg.get("spp", args.spp),
             frames_per_dispatch=cfg.get("frames_per_dispatch",
                                         args.frames_per_dispatch),
             atlas_u32=cfg.get("atlas_u32", False),
@@ -270,17 +275,15 @@ def main():
             res = run_named(name)
             if name == FLAGSHIP:
                 flagship = res
-            print(
-                json.dumps(
-                    {
-                        "config": name,
-                        "mrays_per_s": round(res["mrays_per_s"], 2),
-                        "ms_per_frame": round(res["ms_per_frame"], 3),
-                        "fps": round(res["fps"], 2),
-                    }
-                ),
-                file=sys.stderr,
-            )
+            line = {
+                "config": name,
+                "mrays_per_s": round(res["mrays_per_s"], 2),
+                "ms_per_frame": round(res["ms_per_frame"], 3),
+                "fps": round(res["fps"], 2),
+            }
+            if CONFIGS[name].get("spp", 1) > 1:
+                line["spp_per_s"] = round(res["spp_per_s"], 2)
+            print(json.dumps(line), file=sys.stderr)
         res = flagship
     elif args.config:
         res = run_named(args.config)

@@ -493,14 +493,20 @@ def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options,
       True / "1"   — fused pairs (1+3) and (5+7)
       "13"         — fuse only (1+3); 5 and 7 stay sequential (the 5+7
                      pair's n_side=3 window is the VMEM-riskiest kernel)
-    Default comes from CAPSAICIN_EAW_FUSED.
+    Default comes from options.eaw_fused (a static RenderOptions field the
+    jit variant cache keys on; its own default reads CAPSAICIN_EAW_FUSED
+    at options construction). The env fallback here only covers options
+    objects without the field (ops-level test forcing).
 
     storage selects the planar HBM dtype (compute stays f32 in VMEM):
-      falsy / "0" — f32 (exact; the default, from CAPSAICIN_EAW_BF16)
+      falsy / "0" — f32 (exact; the default)
       True / "1"  — bf16: halves the chain's HBM traffic for ~3e-3 max
                     storage-rounding error per stage. Analogous to the
                     reference running these passes on RGBA16F targets
-                    rather than fp32 (raytracing_system.cpp pass buffers)."""
+                    rather than fp32 (raytracing_system.cpp pass buffers).
+    Default comes from options.eaw_bf16 (same pattern as eaw_fused)."""
+    if fused is None:
+        fused = getattr(options, "eaw_fused", None)
     if fused is None:
         fused = os.environ.get("CAPSAICIN_EAW_FUSED", "0")
     if fused in (False, "0", ""):
@@ -512,6 +518,8 @@ def denoise_chain(color4, nd_normal, nd_depth, moments4, settings, options,
         raise ValueError(
             f"CAPSAICIN_EAW_FUSED={fused!r}: expected 0/1/13")
     fuse_57 = fused not in (None, "13")
+    if storage is None:
+        storage = getattr(options, "eaw_bf16", None)
     if storage is None:
         storage = os.environ.get("CAPSAICIN_EAW_BF16", "0")
     if storage not in (False, "", "0", True, "1"):

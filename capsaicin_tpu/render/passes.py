@@ -520,13 +520,15 @@ def spatial_gather(indirect, nd, width, height, frame_count, settings: Settings,
 
         return halo_map(
             mesh,
-            lambda c, n_, d_: ps.spatial_gather(c, n_, d_, settings),
+            lambda c, n_, d_: ps.spatial_gather(
+                c, n_, d_, settings, storage=options.eaw_bf16),
             3, indirect, m.oct_decode(oct), depth,
         )
     if _use_pallas_stencil():
         from ..ops import pallas_stencil as ps
 
-        return ps.spatial_gather(indirect, m.oct_decode(oct), depth, settings)
+        return ps.spatial_gather(indirect, m.oct_decode(oct), depth, settings,
+                                 storage=options.eaw_bf16)
     center_n = m.oct_decode(oct)  # decode once, shift the decoded field
     center_d = depth
     center_c = indirect

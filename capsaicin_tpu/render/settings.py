@@ -11,9 +11,35 @@ Mirrors the reference's two-level configuration (SURVEY.md §5):
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
+
+
+def _env_eaw_fused() -> str:
+    """Construction-time default for RenderOptions.eaw_fused.
+
+    The env var is read ONCE, when the options object is built, and the
+    value is baked into the hashable dataclass — so the jit variant cache
+    and precompile_variants key on it like any other static option, and
+    flipping the env var after a session is built has no silent effect on
+    that session (build a new RenderOptions instead)."""
+    v = os.environ.get("CAPSAICIN_EAW_FUSED", "0")
+    if v in ("", "0"):
+        return "0"
+    if v in ("1", "13"):
+        return v
+    raise ValueError(f"CAPSAICIN_EAW_FUSED={v!r}: expected 0/1/13")
+
+
+def _env_eaw_bf16() -> bool:
+    v = os.environ.get("CAPSAICIN_EAW_BF16", "0")
+    if v in ("", "0"):
+        return False
+    if v == "1":
+        return True
+    raise ValueError(f"CAPSAICIN_EAW_BF16={v!r}: expected 0/1")
 
 # Output modes (OutputType, gui_system.h:11-17)
 OUTPUT_COMBINED = 0
@@ -53,6 +79,24 @@ class RenderOptions:
     use_material_kd: bool = False  # extension: use MTL Kd for untextured
     # meshes instead of the reference's constant 0.75 (scene.h:56-58)
     history_dtype: str = "float32"  # "float16" mirrors the RGBA16F history
+    # EAW chain execution variants (same math, different schedule/storage;
+    # see ops/pallas_stencil.denoise_chain). Static options like the
+    # reference's compile-time defines (raytracing_system.h:22-27):
+    #   eaw_fused: "0" sequential stages | "1" fused pairs (1+3)(5+7) |
+    #              "13" fuse only the narrow (1+3) pair
+    #   eaw_bf16:  store planar chain/gather buffers bf16 through HBM
+    #              (compute stays f32 in VMEM)
+    # Defaults come from CAPSAICIN_EAW_FUSED / CAPSAICIN_EAW_BF16, read at
+    # construction so the value is part of the hashable options key.
+    eaw_fused: str = dataclasses.field(default_factory=_env_eaw_fused)
+    eaw_bf16: bool = dataclasses.field(default_factory=_env_eaw_bf16)
+
+    def __post_init__(self):
+        if self.eaw_fused not in ("0", "1", "13"):
+            raise ValueError(
+                f"eaw_fused={self.eaw_fused!r}: expected '0'/'1'/'13'")
+        if not isinstance(self.eaw_bf16, bool):
+            raise ValueError(f"eaw_bf16={self.eaw_bf16!r}: expected bool")
 
 
 class Settings(NamedTuple):

@@ -15,6 +15,7 @@ CPU mesh (see test_multichip.py). Asserts:
    halo_map'd Pallas chain, each row-sharded-equal to single-device.
 """
 
+import dataclasses
 import os
 import sys
 
@@ -210,37 +211,32 @@ def main(n_dev: int) -> None:
     # both implementations agree with each other too
     np.testing.assert_allclose(want5p, want5, atol=1e-3)
 
-    # fused stage-pair chain (CAPSAICIN_EAW_FUSED) under the same halo_map
+    # fused stage-pair chain (RenderOptions.eaw_fused, promoted from the
+    # round-4 CAPSAICIN_EAW_FUSED env knob) under the same halo_map
     # placement: the pairs don't change the chain's image-space reach, so
     # the halo plumbing must be oblivious to the fusion
-    os.environ["CAPSAICIN_EAW_FUSED"] = "1"
-    try:
-        with passes.stencil_spmd_scope(mesh):
-            got5f = jax.jit(
-                lambda c, n, mm: passes.denoise(c, n, mm, settings, opt5),
-                out_shardings=row,
-            )(c_sh, nd_sh, m_sh)
-    finally:
-        del os.environ["CAPSAICIN_EAW_FUSED"]
+    opt5f = dataclasses.replace(opt5, eaw_fused="1")
+    with passes.stencil_spmd_scope(mesh):
+        got5f = jax.jit(
+            lambda c, n, mm: passes.denoise(c, n, mm, settings, opt5f),
+            out_shardings=row,
+        )(c_sh, nd_sh, m_sh)
     assert got5f.sharding.num_devices == n_dev, got5f.sharding
     np.testing.assert_allclose(np.asarray(got5f), want5p, atol=1e-3)
 
-    # bf16 planar storage (CAPSAICIN_EAW_BF16) under halo_map: the 16-row
-    # tile layout is internal to the chain, so the halo plumbing must not
-    # care. Compared against the LOCAL bf16 chain: f32 reassociation drift
-    # can flip bf16 storage-rounding boundaries, so the bound is looser
-    # than the f32 checks (this is a plumbing test; accuracy has its own
-    # gate in test_pallas_stencil).
-    os.environ["CAPSAICIN_EAW_BF16"] = "1"
-    try:
-        want5b = np.asarray(passes.denoise(color4, nd5, m4, settings, opt5))
-        with passes.stencil_spmd_scope(mesh):
-            got5b = jax.jit(
-                lambda c, n, mm: passes.denoise(c, n, mm, settings, opt5),
-                out_shardings=row,
-            )(c_sh, nd_sh, m_sh)
-    finally:
-        del os.environ["CAPSAICIN_EAW_BF16"]
+    # bf16 planar storage (RenderOptions.eaw_bf16) under halo_map: the
+    # 16-row tile layout is internal to the chain, so the halo plumbing
+    # must not care. Compared against the LOCAL bf16 chain: f32
+    # reassociation drift can flip bf16 storage-rounding boundaries, so
+    # the bound is looser than the f32 checks (this is a plumbing test;
+    # accuracy has its own gate in test_pallas_stencil).
+    opt5b = dataclasses.replace(opt5, eaw_bf16=True)
+    want5b = np.asarray(passes.denoise(color4, nd5, m4, settings, opt5b))
+    with passes.stencil_spmd_scope(mesh):
+        got5b = jax.jit(
+            lambda c, n, mm: passes.denoise(c, n, mm, settings, opt5b),
+            out_shardings=row,
+        )(c_sh, nd_sh, m_sh)
     assert got5b.sharding.num_devices == n_dev, got5b.sharding
     np.testing.assert_allclose(np.asarray(got5b), want5b, atol=5e-2)
     rms = float(np.sqrt(((np.asarray(got5b) - want5b) ** 2).mean()))

@@ -179,24 +179,48 @@ def test_spatial_gather_bf16_storage_close_to_f32(rng):
     assert np.sqrt((rel ** 2).mean()) < 2e-3
 
 
-def test_env_knobs_reject_typos(rng, monkeypatch):
-    """CAPSAICIN_EAW_FUSED/_BF16 parsing is strict: a typo must raise, not
-    silently select the fully-fused chain or f32 storage (that corrupts
-    hardware A/B runs)."""
-    h, w = 16, 130
-    color4, nd, moments4 = _fake_buffers(rng, h, w)
-    settings = default_settings()
-    options = RenderOptions(eaw5=False)
-    norm = m.oct_decode(nd["oct"])
-
+def test_eaw_knobs_reject_typos(monkeypatch):
+    """eaw_fused/eaw_bf16 parsing is strict at RenderOptions construction:
+    a typo must raise, not silently select the fully-fused chain or f32
+    storage (that corrupts hardware A/B runs). The env vars are read ONCE,
+    when the options object is built."""
+    with pytest.raises(ValueError, match="eaw_fused"):
+        RenderOptions(eaw_fused="off")
+    with pytest.raises(ValueError, match="eaw_bf16"):
+        RenderOptions(eaw_bf16="yes")
     monkeypatch.setenv("CAPSAICIN_EAW_FUSED", "off")
     with pytest.raises(ValueError, match="CAPSAICIN_EAW_FUSED"):
-        ps.denoise_chain(color4, norm, nd["depth"], moments4, settings,
-                         options)
+        RenderOptions()
     monkeypatch.setenv("CAPSAICIN_EAW_FUSED", "0")
     monkeypatch.setenv("CAPSAICIN_EAW_BF16", "yes")
     with pytest.raises(ValueError, match="CAPSAICIN_EAW_BF16"):
-        ps.denoise_chain(color4, norm, nd["depth"], moments4, settings,
-                         options)
-    with pytest.raises(ValueError, match="CAPSAICIN_EAW_BF16"):
-        ps.spatial_gather(color4[..., :3], norm, nd["depth"], settings)
+        RenderOptions()
+
+
+def test_eaw_knobs_are_static_options(monkeypatch):
+    """The EAW execution knobs are RenderOptions fields (the repo's
+    compile-time-define level, raytracing_system.h:22-27): part of the
+    hashable options key, env-seeded at construction only, so the jit
+    variant cache can never serve a stale fusion/storage variant and two
+    sessions in one process can differ."""
+    base = RenderOptions()
+    fused = RenderOptions(eaw_fused="1")
+    b16 = RenderOptions(eaw_bf16=True)
+    assert base != fused and base != b16
+    assert len({hash(base), hash(fused), hash(b16)}) == 3
+
+    # env seeds the default at construction time...
+    monkeypatch.setenv("CAPSAICIN_EAW_FUSED", "13")
+    monkeypatch.setenv("CAPSAICIN_EAW_BF16", "1")
+    seeded = RenderOptions()
+    assert seeded.eaw_fused == "13" and seeded.eaw_bf16 is True
+    assert seeded == RenderOptions(eaw_fused="13", eaw_bf16=True)
+    # ...and flipping the env afterwards does not mutate existing options
+    monkeypatch.setenv("CAPSAICIN_EAW_FUSED", "0")
+    monkeypatch.setenv("CAPSAICIN_EAW_BF16", "0")
+    assert seeded.eaw_fused == "13" and seeded.eaw_bf16 is True
+
+    # the chain honors the options field (fused pairs == sequential math
+    # is covered above; here: the field alone selects bf16 storage)
+    import dataclasses as dc
+    assert dc.replace(base, eaw_bf16=True) == b16

@@ -41,8 +41,10 @@ if [ -f /tmp/suite.pid ] && kill -0 "$(cat /tmp/suite.pid)" 2>/dev/null; then
   while kill -0 "$(cat /tmp/suite.pid)" 2>/dev/null; do sleep 30; done
 fi
 
-# 1. bounded backend probe — abort early if the relay is still dead
-if ! run 120 probe python -c "
+# 1. bounded backend probe — abort early if the relay is still dead.
+# 360s: a healthy relay with a cold compile cache measured 107s for the
+# first tiny reduction (round 5) — 120s misclassified it as down.
+if ! run 360 probe python -c "
 import jax, jax.numpy as jnp
 d = jax.devices()
 assert float(jnp.ones((8,128)).sum()) == 1024.0
