@@ -418,23 +418,29 @@ def _stream_kernel(
         p_out[0, 0] = prim
 
     # double-buffered pipeline: extraction + DMA of step k+1 overlap MT of
-    # step k; exactly one started DMA set is outstanding at loop exit
+    # step k; exactly one started DMA set is outstanding at loop exit.
+    # The valid mask is carried as i32, NOT bool: libtpu's Mosaic backend
+    # (v5e terminal, Nov-2025 vintage) fails to legalize an i1 vector
+    # flowing through scf.yield ("failed to legalize operation 'scf.yield'",
+    # in_layout vpad<32,...> on vector<8x128xi1>) — first real-hardware
+    # compile, round 5. Pure type change; bit-equal results.
     v0, b0 = extract()
     start_dmas(0, b0)
 
     def cond(carry):
-        valid, _ = carry
-        return jnp.any(valid)
+        valid_i, _ = carry
+        return jnp.any(valid_i > 0)
 
     def body(carry):
-        valid, parity = carry
+        valid_i, parity = carry
         v2, b2 = extract()
         start_dmas(1 - parity, b2)
         wait_dmas(parity)
-        mt_block(parity, valid)
-        return v2, 1 - parity
+        mt_block(parity, valid_i > 0)
+        return v2.astype(jnp.int32), 1 - parity
 
-    _, p_fin = jax.lax.while_loop(cond, body, (v0, jnp.int32(0)))
+    _, p_fin = jax.lax.while_loop(
+        cond, body, (v0.astype(jnp.int32), jnp.int32(0)))
     wait_dmas(p_fin)  # drain the final (unconsumed) DMA set
 
 

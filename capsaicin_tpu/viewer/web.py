@@ -8,8 +8,8 @@ mirrors the full ImGui control set (gui_system.cpp:69-91): the float sigmas
 are traced knobs (no recompile), while output mode / bounce count / denoise /
 eaw5 / gather / TAA flip precompiled jit variants (session.use_options) the
 way the reference rebuilds PSOs — but hitch-free thanks to
-session.precompile_variants. The overlay shows ms/frame + FPS and, on
-demand, the per-pass timings table (gui_system.cpp:94-104).
+session.precompile_variants. The overlay shows ms/frame + FPS and a
+live-refreshing per-pass timings table (gui_system.cpp:94-104).
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ canvas { display:block; margin:auto; image-rendering:pixelated }
 <div id="opts"></div>
 <div id="knobs"></div>
 <button id="tbtn">pass timings</button>
+<label style="display:inline">live <input type="checkbox" id="tlive" checked></label>
 <div id="timings"></div></div>
 <canvas id="c"></canvas>
 <script>
@@ -124,13 +125,31 @@ fetch('/settings').then(r => r.json()).then(cfg => {
     odiv.appendChild(label);
   }
 });
-document.getElementById('tbtn').onclick = async () => {
-  document.getElementById('timings').textContent = 'measuring...';
-  const r = await fetch('/timings');
-  const t = await r.json();
-  document.getElementById('timings').textContent =
-    Object.entries(t).map(([k, v]) => `${k.padEnd(26)} ${(v * 1e3).toFixed(2)} ms`).join('\\n');
-};
+// per-pass timings table (gui_system.cpp:94-104 shows it continuously).
+// Auto-refreshes every 10 s while 'live' is checked: each refresh
+// re-dispatches the cached cumulative-prefix programs (~a few partial
+// frames), so it is bounded but not free — the interval keeps the cost
+// under a few percent of frame budget. The button forces an immediate
+// refresh (and pays the one-time prefix compile on first use).
+let timingBusy = false;
+async function refreshTimings(manual) {
+  if (timingBusy) return;
+  timingBusy = true;
+  if (manual) document.getElementById('timings').textContent = 'measuring...';
+  try {
+    const r = await fetch('/timings');
+    const t = await r.json();
+    document.getElementById('timings').textContent =
+      Object.entries(t).map(([k, v]) => `${k.padEnd(26)} ${(v * 1e3).toFixed(2)} ms`).join('\\n');
+  } finally { timingBusy = false; }
+}
+document.getElementById('tbtn').onclick = () => refreshTimings(true);
+let frameCount = 0;
+setInterval(() => {
+  // wait until frames are flowing (first /timings compiles the prefixes)
+  if (document.getElementById('tlive').checked && frameCount > 3)
+    refreshTimings(false);
+}, 10000);
 let lastW = 0, lastH = 0;
 async function loop() {
   const input = {keys: [...keys], dx: acc.dx, dy: acc.dy,
@@ -149,6 +168,7 @@ async function loop() {
   acc.dx = 0; acc.dy = 0;
   const r = await fetch('/frame', {method: 'POST', body: JSON.stringify(input)});
   const stats = JSON.parse(r.headers.get('X-Stats'));
+  frameCount = stats.frame;
   document.getElementById('stats').textContent =
       `${stats.ms.toFixed(1)} ms/frame  ${stats.fps.toFixed(1)} fps  frame ${stats.frame}`;
   const blob = await r.blob();

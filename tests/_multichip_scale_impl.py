@@ -1,0 +1,118 @@
+"""Realistic-shape multichip evidence, executed like _multichip_impl.py in
+a subprocess with an 8-virtual-device CPU mesh (see test_multichip.py).
+
+Complements the toy-scale equality suite in _multichip_impl.py (64-wide
+images, Cornell only) with the two shapes the round-4 verdict called out:
+
+1. One sharded DEFAULT-options frame at 1080p (1920x1080, 135 rows per
+   shard): the full 9-pass frame — including the halo_map'd Pallas eaw5
+   chain whose multi-hop ppermute halos are reach-35 against 135-row
+   shards — compiles AND executes at the flagship resolution, tolerance
+   vs the single-device frame.
+2. The DMA-streaming dense-scene backend under shard_map against the REAL
+   colonnade scene (~250k tris): the whole-scene HBM leaf-block structure
+   replicated per shard, row-sharded camera rays, per-shard gang packing —
+   exact equality vs the single-chip kernel.
+
+Sizes are chosen to keep interpret-mode Pallas execution inside the test
+budget: the 1080p frame uses the jnp stencil fallback only where noted;
+ray counts for the stream check use a small viewport over the full scene
+(dense-scene scale is the SCENE size, not the ray count).
+"""
+
+import os
+import sys
+import time
+
+
+def main(n_dev: int) -> None:
+    assert os.environ.get("JAX_PLATFORMS") == "cpu"
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from capsaicin_tpu.parallel import sharding as sh
+    from capsaicin_tpu.render.session import RenderSession
+    from capsaicin_tpu.render.settings import RenderOptions
+    from capsaicin_tpu.scene import build_scene
+    from capsaicin_tpu.scene.procedural import (
+        colonnade, cornell_box, make_camera,
+    )
+
+    assert len(jax.devices()) >= n_dev, jax.devices()
+    mesh = sh.make_mesh(jax.devices()[:n_dev])
+
+    # ---- 1. flagship-resolution default-options SPMD frame --------------
+    width, height = 1920, 1080
+    options = RenderOptions()  # the literal defaults, eaw5=True included
+    os.environ["CAPSAICIN_PALLAS_STENCIL"] = "1"  # the product SPMD path
+    scene_host = build_scene(cornell_box())
+    camera = make_camera("cornell", width, height)
+
+    t0 = time.time()
+    ref_sess = RenderSession(
+        width, height, options=options, traversal="auto", camera=camera)
+    ref_sess.set_scene(scene_host)
+    ref = ref_sess.render()
+    print(f"single-device 1080p frame: {time.time() - t0:.1f}s", flush=True)
+
+    t0 = time.time()
+    sess = RenderSession(
+        width, height, options=options, traversal="auto", camera=camera,
+        mesh=mesh)
+    sess.set_scene(scene_host)
+    disp = sess.render_async()
+    assert disp.sharding.num_devices == n_dev, disp.sharding
+    out = np.asarray(disp)
+    print(f"sharded 1080p frame: {time.time() - t0:.1f}s", flush=True)
+    assert out.shape == (height, width, 3)
+    assert np.all(np.isfinite(out))
+    # sharded execution reassociates float reductions; small drift allowed
+    np.testing.assert_allclose(out, ref, atol=1e-3)
+
+    # ---- 2. stream backend x shard_map at dense-scene scale -------------
+    from capsaicin_tpu.ops import stream as st
+    from capsaicin_tpu.ops.camera import create_primary_rays, pixel_grid
+
+    col_scene = build_scene(colonnade())
+    tris = np.stack(
+        [np.asarray(col_scene.tri_v0), np.asarray(col_scene.tri_v1),
+         np.asarray(col_scene.tri_v2)], axis=1).astype(np.float32)
+    print(f"colonnade tris: {tris.shape[0]}", flush=True)
+    sb = st.build_stream_bvh(tris)
+    sb_rep = jax.device_put(sb, sh.replicated(mesh))
+
+    # coherent primary rays over the full dense scene: a small viewport
+    # (8 gangs of 1024) keeps interpret-mode steps bounded while every
+    # gang culls against the full 250k-tri leaf-block table
+    cw, ch = 128, 8 * n_dev
+    cam = make_camera("colonnade", cw, ch)
+    import jax.numpy as jnp
+    o, d = create_primary_rays(
+        cam, pixel_grid(cw, ch), (cw, ch), jnp.int32(0))
+    o = o.reshape(-1, 3)
+    d = d.reshape(-1, 3)
+
+    t0 = time.time()
+    want = st.stream_closest(sb, o, d, 0.0, 1e6)
+    print(f"single-chip stream trace: {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    sharded = sh.shard_trace(
+        mesh, None, sb_rep,
+        lambda _scene, bvh: lambda oo, dd, a, b: st.stream_closest(
+            bvh, oo, dd, a, b))
+    got = sharded(o, d, 0.0, 1e6)
+    print(f"sharded stream trace: {time.time() - t0:.1f}s", flush=True)
+    for k in ("t", "u", "v", "prim"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=f"stream {k}")
+    hit_frac = float(np.mean(np.asarray(want["prim"]) >= 0))
+    assert hit_frac > 0.5, hit_frac  # the viewport actually sees the scene
+
+    print(f"multichip scale OK ({n_dev} devices, {width}x{height} frame, "
+          f"{tris.shape[0]}-tri stream scene)")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 8)

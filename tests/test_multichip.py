@@ -38,6 +38,22 @@ def test_sharded_frame_matches_single_device():
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
 
 
+def test_sharded_frame_at_flagship_resolution():
+    """Realistic-shape SPMD evidence (round-4 verdict): the default-options
+    frame at 1920x1080 over the 8-device mesh (tolerance vs single-device)
+    and the stream backend under shard_map against the full ~250k-tri
+    colonnade scene (exact equality). One frame each — see
+    _multichip_scale_impl.py for the size rationale."""
+    impl = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "_multichip_scale_impl.py")
+    proc = subprocess.run(
+        [sys.executable, impl, str(N_DEV)],
+        env=_mesh_env(N_DEV), cwd=_REPO,
+        capture_output=True, text=True, timeout=3000,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+
+
 def test_graft_dryrun():
     # dryrun_multichip spawns its own CPU-pinned subprocess (the driver gate)
     sys.path.insert(0, _REPO)

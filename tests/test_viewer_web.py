@@ -43,3 +43,16 @@ def test_fps_cap_paces_frames():
     st.step([], 0, 0, fps_cap=0)
     assert st.fps_cap == 0
     assert st._next_frame <= time.perf_counter()
+
+
+def test_page_has_live_timings_hud():
+    """The per-pass timings table refreshes continuously (the reference
+    overlays per-pass GPU ms every frame, gui_system.cpp:94-104): the page
+    ships an interval-driven refresh plus the manual button, gated on a
+    'live' toggle."""
+    from capsaicin_tpu.viewer.web import _PAGE
+
+    assert "refreshTimings" in _PAGE
+    assert "setInterval" in _PAGE
+    assert 'id="tlive"' in _PAGE
+    assert "/timings" in _PAGE
