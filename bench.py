@@ -192,15 +192,33 @@ def run_config(width, height, bounces, scene_name, traversal, frames, lowres=Fal
     k = max(int(frames_per_dispatch), 1)
     if k > 1:
         # on-device frame loop: K frames per dispatch (lax.fori_loop with
-        # carried state) — removes the per-frame host dispatch overhead
-        session.render_loop(k)  # compile + warm
-        dispatches = max(frames // k, 1)
+        # carried state) — removes the per-frame host dispatch overhead.
+        # Two hardening rules, both from bogus round-5 captures:
+        #  - accumulate=True so every iteration's image compute is
+        #    provably live (a last-display-only carry lets XLA dead-code-
+        #    eliminate K-1 frames when the temporal passes are off:
+        #    direct512_loop16 read exactly 16x the kernel rate)
+        #  - every timed dispatch gets a perturbed traced-settings input
+        #    (exposure + i*1e-7) and we time >= 2 dispatches: the device
+        #    tunnel serves REPEATED IDENTICAL execute requests from a
+        #    cache (flagship-loop16 read 312,521 Mrays/s)
+        base = session.settings
+        session.render_loop(k, accumulate=True)  # compile + warm
+        dispatches = max(frames // k, 2)
         t0 = time.perf_counter()
         out = None
-        for _ in range(dispatches):
-            out = session.render_loop(k)
-        out.block_until_ready()
+        per = []
+        for i in range(dispatches):
+            td = time.perf_counter()
+            session.settings = base._replace(
+                exposure=base.exposure + (i + 1) * 1e-7)
+            out = session.render_loop(k, accumulate=True)
+            out.block_until_ready()
+            per.append(time.perf_counter() - td)
         dt = (time.perf_counter() - t0) / (dispatches * k)
+        session.settings = base
+        print("bench: loop dispatch seconds: "
+              + " ".join(f"{p:.4f}" for p in per), file=sys.stderr)
     else:
         # compile + warm up
         session.render()

@@ -384,7 +384,8 @@ class RenderSession:
         return pick(0), pick(1), pick(2), pick(3)
 
     def _build_frame_fn(self, options: Optional[RenderOptions] = None,
-                        loop_frames: Optional[int] = None):
+                        loop_frames: Optional[int] = None,
+                        loop_accumulate: bool = False):
         mode = self._resolved_mode
         width, height = self.width, self.height
         options = self.options if options is None else options
@@ -392,7 +393,8 @@ class RenderSession:
         # (mode, resolution, options, mesh, loop) — scene/bvh/state are
         # traced args — so identical configs across sessions share one
         # compile (the reference's PSO cache analog)
-        key = (mode, width, height, options, self.mesh, loop_frames)
+        key = (mode, width, height, options, self.mesh, loop_frames,
+               loop_accumulate)
         with _GLOBAL_FN_CACHE_LOCK:
             cached = _GLOBAL_FN_CACHE.get(key)
             if cached is not None:
@@ -432,12 +434,26 @@ class RenderSession:
                 # dispatch round trip (~1-2 ms through the device tunnel —
                 # what capped small configs) for offline/progressive
                 # rendering. Camera is held for the whole dispatch.
+                #
+                # accumulate=True returns the MEAN of the K displays (the
+                # offline antialiasing semantics: each frame jitters the
+                # subpixel sample). It also guarantees every iteration's
+                # image compute stays live: with the temporal passes off
+                # (e.g. the direct-only config) the last-display-only
+                # carry lets XLA dead-code-eliminate the first K-1 frames
+                # entirely — a round-5 hardware capture read 2417 Mrays/s
+                # (= exactly 16x the single-frame kernel rate) before
+                # this was caught, so benches MUST use accumulate mode.
                 def body(_, carry):
-                    _, st = carry
-                    return step(scene, bvh, camera, st, settings, noise)
+                    acc, st = carry
+                    d, st = step(scene, bvh, camera, st, settings, noise)
+                    return (acc + d if loop_accumulate else d), st
 
                 disp0 = jnp.zeros((height, width, 3), jnp.float32)
-                return jax.lax.fori_loop(0, k, body, (disp0, state))
+                acc, st = jax.lax.fori_loop(0, k, body, (disp0, state))
+                if loop_accumulate:
+                    acc = acc / jnp.float32(k)
+                return acc, st
 
         if mesh is None:
             fn = jax.jit(body_fn, donate_argnums=(3,))
@@ -472,13 +488,19 @@ class RenderSession:
         return np.asarray(display)
 
     def render_loop(self, frames: int, camera: Optional[Camera] = None,
-                    chunk: int = 16):
+                    chunk: int = 16, accumulate: bool = False):
         """Render `frames` frames on-device (lax.fori_loop over the frame
         step with carried state) and return the last display image as a
         device array. Amortizes the per-frame host dispatch overhead
         (~1-2 ms through a tunneled device — what launch-bound small configs
         pay per frame); the camera is held constant across the loop, so
         this is the offline/progressive accumulation fast path.
+
+        accumulate=True returns each chunk's MEAN display instead of the
+        last frame's — the offline antialiasing semantics for configs
+        without temporal accumulation (direct-only), and the mode benches
+        must use: it keeps every loop iteration's image live (see
+        _build_frame_fn).
 
         The device loop always runs a FIXED `chunk` trip count (the count
         bakes into the HLO, so every distinct value is a fresh multi-minute
@@ -495,7 +517,8 @@ class RenderSession:
         n_chunks, rem = divmod(frames, max(int(chunk), 1))
         display = None
         if n_chunks:
-            fn = self._build_frame_fn(loop_frames=max(int(chunk), 1))
+            fn = self._build_frame_fn(loop_frames=max(int(chunk), 1),
+                                      loop_accumulate=accumulate)
             for _ in range(n_chunks):
                 display, self.state = fn(
                     self.scene_dev, self.bvh, self.camera, self.state,

@@ -86,6 +86,11 @@ class RenderOptions:
     #              "13" fuse only the narrow (1+3) pair
     #   eaw_bf16:  store planar chain/gather buffers bf16 through HBM
     #              (compute stays f32 in VMEM)
+    # Round-5 hardware A/B (PERF.md): fusion LOSES on the chip (the
+    # stage-A recompute over the slab exceeds the saved HBM round trip:
+    # flagship 161->152 at "13", progressive 111->92 at "1") and "1"
+    # OOMs scoped VMEM at 1080p (26.3M vs the 16M limit) — "0" is the
+    # measured-correct default; the variants stay for other shapes.
     # Defaults come from CAPSAICIN_EAW_FUSED / CAPSAICIN_EAW_BF16, read at
     # construction so the value is part of the hashable options key.
     eaw_fused: str = dataclasses.field(default_factory=_env_eaw_fused)

@@ -72,6 +72,27 @@ def test_render_loop_matches_sequential():
     np.testing.assert_allclose(got2, want2, atol=1e-5)
 
 
+def test_render_loop_accumulate_is_mean_of_frames():
+    """render_loop(accumulate=True) returns the chunk's MEAN display — the
+    offline-AA semantics for non-temporal configs, and the mode benches
+    use so no loop iteration is dead code (a last-display-only carry lets
+    XLA eliminate k-1 frames when the temporal passes are off; round 5
+    caught direct512_loop16 reading exactly 16x the kernel rate)."""
+    opts = RenderOptions(num_diffuse_bounces=0, output=1, **SLIM)
+    ref = _session(opts)
+    frames = [np.asarray(ref.render()) for _ in range(2)]
+    want = np.mean(frames, axis=0)
+
+    sess = _session(opts)
+    got = np.asarray(sess.render_loop(2, chunk=2, accumulate=True))
+    assert int(sess.state.frame_count) == 2
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # and the default (last-display) semantics are unchanged
+    sess2 = _session(opts)
+    got_last = np.asarray(sess2.render_loop(2, chunk=2))
+    np.testing.assert_allclose(got_last, frames[-1], atol=1e-5)
+
+
 def test_spp_options_hashable_variant():
     """spp is a static option: flipping it produces a distinct compiled
     variant (and a valid cache key)."""
