@@ -193,32 +193,60 @@ def run_config(width, height, bounces, scene_name, traversal, frames, lowres=Fal
     if k > 1:
         # on-device frame loop: K frames per dispatch (lax.fori_loop with
         # carried state) — removes the per-frame host dispatch overhead.
-        # Two hardening rules, both from bogus round-5 captures:
+        # Measurement design, forced by three bogus round-5 captures:
         #  - accumulate=True so every iteration's image compute is
-        #    provably live (a last-display-only carry lets XLA dead-code-
-        #    eliminate K-1 frames when the temporal passes are off:
-        #    direct512_loop16 read exactly 16x the kernel rate)
-        #  - every timed dispatch gets a perturbed traced-settings input
-        #    (exposure + i*1e-7) and we time >= 2 dispatches: the device
-        #    tunnel serves REPEATED IDENTICAL execute requests from a
-        #    cache (flagship-loop16 read 312,521 Mrays/s)
-        base = session.settings
-        session.render_loop(k, accumulate=True)  # compile + warm
-        dispatches = max(frames // k, 2)
-        t0 = time.perf_counter()
-        out = None
-        per = []
-        for i in range(dispatches):
-            td = time.perf_counter()
-            session.settings = base._replace(
-                exposure=base.exposure + (i + 1) * 1e-7)
-            out = session.render_loop(k, accumulate=True)
-            out.block_until_ready()
-            per.append(time.perf_counter() - td)
-        dt = (time.perf_counter() - t0) / (dispatches * k)
-        session.settings = base
-        print("bench: loop dispatch seconds: "
-              + " ".join(f"{p:.4f}" for p in per), file=sys.stderr)
+        #    provably live (a last-display-only loop carry lets XLA
+        #    dead-code-eliminate K-1 frames when the temporal passes are
+        #    off: direct512_loop16 read exactly 16x the kernel rate).
+        #  - every timed dispatch gets a PERTURBED CAMERA (position +
+        #    i*1e-5): the device tunnel replays repeated execute requests
+        #    from a cache (flagship-loop16 read 312k Mrays/s), and a
+        #    perturbed traced-settings scalar was NOT enough to defeat it
+        #    (every config then measured the same ~0.43 s constant).
+        #  - per-frame time = median(k-frame dispatch) minus
+        #    median(1-frame dispatch), over k-1: differencing cancels
+        #    whatever fixed per-dispatch round-trip the tunnel charges,
+        #    which host-side timing cannot otherwise separate.
+        import jax.numpy as jnp
+
+        base_cam = session.camera
+
+        def cam_i(i):
+            return base_cam._replace(
+                position=base_cam.position + jnp.float32(1e-5) * (i + 1))
+
+        session.render_loop(k, accumulate=True)  # compile + warm the k-loop
+        session.render()  # compile + warm the single-frame variant
+        # Serial-blocked, camera-perturbed dispatches, then difference a
+        # k-frame dispatch against a 1-frame dispatch: the tunnel charges a
+        # large constant round trip per serial-blocked dispatch (~0.54 s at
+        # 1080p) which the subtraction cancels, and the distinct camera per
+        # dispatch forces real execution. Validated: this read 162.5 on
+        # gi1080_loop16 vs the known 161.4 single-frame rate. The async
+        # enqueue pattern (even camera-perturbed) collapses repeated loop
+        # dispatches to ~one execution (read 646) and CANNOT be used here.
+        reps = max(frames // k, 5)
+
+        def timed(fn_call, n, tag):
+            per = []
+            out = None
+            for i in range(n):
+                td = time.perf_counter()
+                out = fn_call(i)
+                out.block_until_ready()
+                per.append(time.perf_counter() - td)
+            print(f"bench: {tag} dispatch seconds: "
+                  + " ".join(f"{p:.4f}" for p in per), file=sys.stderr)
+            return sorted(per)[n // 2], out
+
+        tk, out = timed(
+            lambda i: session.render_loop(k, camera=cam_i(i),
+                                          accumulate=True), reps, f"loop{k}")
+        t1, _ = timed(
+            lambda i: session.render_async(camera=cam_i(100 + i)), reps,
+            "single")
+        session.camera = base_cam
+        dt = max(tk - t1, 1e-9) / (k - 1)
     else:
         # compile + warm up
         session.render()
