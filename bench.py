@@ -150,8 +150,12 @@ for _base in ("direct512", "progressive", "textured", "gi1080"):
 CONFIGS["gi1080_fp16hist"] = dict(
     width=1920, height=1080, bounces=1, scene="cornell",
     options=dict(history_dtype="float16"))
+# direct512_loop16 is part of --all (round-5 flip): the 512^2 config is
+# launch-bound single-dispatch (100 Mrays/s at ~2 ms/frame of tunnel
+# overhead); the on-device frame loop is its product path (371, measured
+# by dispatch differencing — PERF.md round 5)
 _AB_ONLY = ("colonnade_stream", "colonnade_stream64", "colonnade_stream128",
-            "textured_u32", "direct512_loop16", "progressive_loop16",
+            "textured_u32", "progressive_loop16",
             "textured_loop16", "gi1080_loop16", "gi1080_fp16hist")
 ALL_CONFIGS = [n for n in CONFIGS if n not in _AB_ONLY]
 
@@ -225,7 +229,9 @@ def run_config(width, height, bounces, scene_name, traversal, frames, lowres=Fal
         # gi1080_loop16 vs the known 161.4 single-frame rate. The async
         # enqueue pattern (even camera-perturbed) collapses repeated loop
         # dispatches to ~one execution (read 646) and CANNOT be used here.
-        reps = max(frames // k, 5)
+        # 12 reps: the min-estimator needs enough samples for both mins to
+        # sit on the round-trip floor, or small-frame configs see +-50%.
+        reps = max(frames // k, 12)
 
         def timed(fn_call, n, tag):
             per = []
@@ -237,7 +243,10 @@ def run_config(width, height, bounces, scene_name, traversal, frames, lowres=Fal
                 per.append(time.perf_counter() - td)
             print(f"bench: {tag} dispatch seconds: "
                   + " ".join(f"{p:.4f}" for p in per), file=sys.stderr)
-            return sorted(per)[n // 2], out
+            # min, not median: the tunnel round-trip noise is one-sided
+            # (delays only), and at small frame sizes +-10 ms of jitter on
+            # a ~50 ms dispatch otherwise swamps the differenced signal
+            return min(per), out
 
         tk, out = timed(
             lambda i: session.render_loop(k, camera=cam_i(i),
