@@ -4,6 +4,17 @@
 # step bounded and logged. Strictly sequential (single-tenant tunnel, one
 # CPU core — concurrent python jobs serialize and can wedge the relay).
 #
+# ROUND-5 STATUS: this backlog was fully harvested on 2026-08-20 and every
+# A/B adjudicated — see PERF.md "Round 5". Decisions: colonnade keeps the
+# packet kernel (stream ladder 1.12/1.59/2.01 vs 2.90); EAW fusion stays
+# off (loses everywhere, "1" OOMs VMEM at 1080p); bf16/fp16/u32 storage
+# variants are all <=1.1% (defaults stay exact); direct512's product path
+# is render_loop (in --all as direct512_loop16). Re-running this script is
+# only useful to re-validate after kernel changes. CAVEAT for any timing
+# work: the tunnel REPLAYS repeated identical execute requests and even
+# input-perturbed async loop dispatches — see bench.py's loop-mode
+# measurement design before trusting any new number.
+#
 #   bash tools/hw_session.sh [logfile]
 #
 # Order rationale:
