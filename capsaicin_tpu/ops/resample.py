@@ -161,6 +161,15 @@ def upsample2x_bilinear(img):
     UPSCALE2X current-color fetch of the SVGF accumulate pass
     (temporal_accumulation.hlsl:228-232): its sample position is always the
     identity map, so the general gather is pure waste on TPU.
+
+    Round-5 note: isolated microbenchmarks of alternative pass
+    compositions (transpose sandwiches, commuted axis order) read
+    anywhere from 0.12 to 31 ms for the SAME computation on the device
+    tunnel — its execute-replay cache makes isolated timings of small
+    jitted fns meaningless (see bench.py). The product-level A/B is the
+    only valid signal, and it is neutral (progressive 128.3 -> 129.9,
+    within noise): in-frame, XLA fuses this composition into its
+    consumers fine. Do not "optimize" this function on isolated numbers.
     """
 
     def up(a, axis):
