@@ -126,3 +126,24 @@ def test_multi_bounce_gi():
     s.set_scene(build_scene(cornell_box()))
     img = s.render()
     assert np.all(np.isfinite(img))
+
+
+def test_deinterleave2_equals_roll_form():
+    """The reshape+dynamic-index deinterleave (round-5 lane-shuffle fix,
+    +14% on the progressive config) must equal the reference formulation
+    roll(x, (-oy,-ox))[::2, ::2] bit-exactly for every 2x2 phase."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from capsaicin_tpu.render.passes import _deinterleave2
+
+    rng = np.random.default_rng(5)
+    for shape in [(16, 32), (16, 32, 2), (8, 256, 3)]:
+        x = jnp.asarray(rng.random(shape).astype(np.float32))
+        for oy in (0, 1):
+            for ox in (0, 1):
+                want = np.asarray(
+                    jnp.roll(x, shift=(-oy, -ox), axis=(0, 1))[::2, ::2])
+                got = np.asarray(
+                    _deinterleave2(x, jnp.int32(oy), jnp.int32(ox)))
+                np.testing.assert_array_equal(got, want)
